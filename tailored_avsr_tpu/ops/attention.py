@@ -1,0 +1,210 @@
+"""Self-attention variants: absolute MHA, Transformer-XL relative-position MHA
+(with learned u/v biases), and Fastformer additive attention.
+
+Capability parity with espnet's ``MultiHeadedAttention`` /
+``RelPositionMultiHeadedAttention`` / ``FastSelfAttention`` as selected by the
+reference encoders (/root/reference/src/encoder/branchformer/encoder.py:222-259,
+src/encoder/audiovisual/tailored/encoder.py:119-153).
+
+TPU-first notes:
+- heads and head-dim stay packed as one (B, H, T, Dk) tensor so the two matmuls
+  per attention land on the MXU as large batched GEMMs.
+- the rel-shift is the pad+reshape trick (pure data movement, fused by XLA) —
+  no gather.
+- softmax accumulates in float32 regardless of input dtype (bf16-safe).
+- a fused Pallas flash-attention path for long sequences lives in
+  ``ops/flash_attention.py`` and is used by the encoders when enabled.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tailored_avsr_tpu.ops.masking import MASK_MIN
+
+
+def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Softmax over the last axis with key-side masking.
+
+    scores: (B, H, Tq, Tk); mask: (B, Tk) True=valid, or None.
+    Fully-masked rows produce zeros (matches espnet's masked_fill-after-softmax).
+    """
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        m = mask[:, None, None, :]
+        scores = jnp.where(m, scores, MASK_MIN)
+        attn = nn.softmax(scores, axis=-1)
+        attn = jnp.where(m, attn, 0.0)
+    else:
+        attn = nn.softmax(scores, axis=-1)
+    return attn
+
+
+class MultiHeadedAttention(nn.Module):
+    """Standard scaled dot-product multi-head attention."""
+
+    num_heads: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d = query.shape[-1]
+        h, dk = self.num_heads, d // self.num_heads
+        assert d % h == 0
+
+        def split(x, name):
+            y = nn.Dense(d, name=name)(x)
+            return y.reshape(y.shape[:-1] + (h, dk)).transpose(0, 2, 1, 3)
+
+        q = split(query, "linear_q")
+        k = split(key, "linear_k")
+        v = split(value, "linear_v")
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(dk, jnp.float32))
+        attn = _masked_softmax(scores, mask).astype(v.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(query.shape[:-1] + (d,))
+        return nn.Dense(d, name="linear_out")(out)
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, 2T-1) -> (B, H, T, T); out[..., i, j] = x[..., i, T-1-i+j].
+
+    The pad/reshape trick: prepend a zero column, fold, drop the first row,
+    unfold, keep the first T columns.
+    """
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (b,h,t,2t)
+    x = x.reshape(b, h, 2 * t, t)[:, :, 1:, :]  # (b,h,2t-1,t)
+    x = x.reshape(b, h, t, 2 * t - 1)
+    return x[:, :, :, :t]
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """Transformer-XL style relative-position MHA with learned u/v biases.
+
+    ``pos_emb`` is the (1, 2T-1, D) table from ``RelPositionalEncoding``.
+    """
+
+    num_heads: int
+    dropout_rate: float = 0.0
+    zero_triu: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        pos_emb: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d = query.shape[-1]
+        h, dk = self.num_heads, d // self.num_heads
+        assert d % h == 0
+
+        def split(x, name):
+            y = nn.Dense(d, name=name)(x)
+            return y.reshape(y.shape[:-1] + (h, dk)).transpose(0, 2, 1, 3)
+
+        q = split(query, "linear_q")  # (B,H,T,dk)
+        k = split(key, "linear_k")
+        v = split(value, "linear_v")
+        # positional projection, no bias (espnet linear_pos has bias=False)
+        p = nn.Dense(d, use_bias=False, name="linear_pos")(pos_emb)
+        p = p.reshape(p.shape[0], -1, h, dk).transpose(0, 2, 1, 3)  # (1,H,2T-1,dk)
+
+        pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
+        pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
+
+        q_u = q + pos_bias_u[None, :, None, :].astype(q.dtype)
+        q_v = q + pos_bias_v[None, :, None, :].astype(q.dtype)
+
+        # content-content + content-position terms
+        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p)  # (B,H,T,2T-1)
+        matrix_bd = rel_shift(matrix_bd)
+        if self.zero_triu:
+            t = matrix_bd.shape[-2]
+            ones = jnp.tril(jnp.ones((t, t), dtype=matrix_bd.dtype))
+            matrix_bd = matrix_bd * ones[None, None]
+
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(dk, jnp.float32)).astype(q.dtype)
+        attn = _masked_softmax(scores, mask).astype(v.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(query.shape[:-1] + (d,))
+        return nn.Dense(d, name="linear_out")(out)
+
+
+class FastSelfAttention(nn.Module):
+    """Fastformer additive attention (espnet2.asr.layers.fastformer behavior).
+
+    Linear-time: per-head attention-pooled global query modulates keys, whose
+    pooled summary modulates values. Used by the 'fast_selfattn' encoder choice
+    (/root/reference/src/encoder/branchformer/encoder.py:251-259).
+    """
+
+    num_heads: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, t, d = x.shape
+        h, dk = self.num_heads, d // self.num_heads
+        assert d % h == 0
+        drop = nn.Dropout(self.dropout_rate)
+
+        def pool_weights(scores):  # (B, T, H) -> (B, H, T) softmax over T
+            s = scores.transpose(0, 2, 1).astype(jnp.float32) / jnp.sqrt(
+                jnp.asarray(dk, jnp.float32)
+            )
+            if mask is not None:
+                s = jnp.where(mask[:, None, :], s, MASK_MIN)
+                w = nn.softmax(s, axis=-1)
+                w = jnp.where(mask[:, None, :], w, 0.0)
+            else:
+                w = nn.softmax(s, axis=-1)
+            return w.astype(x.dtype)
+
+        query = nn.Dense(d, name="query")(x)
+        q_heads = query.reshape(b, t, h, dk).transpose(0, 2, 1, 3)  # (B,H,T,dk)
+        q_w = pool_weights(nn.Dense(h, name="query_att")(query))
+        pooled_q = jnp.einsum("bht,bhtd->bhd", q_w, q_heads)  # (B,H,dk)
+        pooled_q = drop(pooled_q, deterministic=deterministic)
+
+        key = nn.Dense(d, name="key")(x)
+        mixed = key * pooled_q.reshape(b, 1, d)  # broadcast global query over time
+        k_heads = mixed.reshape(b, t, h, dk).transpose(0, 2, 1, 3)
+        k_w = pool_weights(nn.Dense(h, name="key_att")(mixed))
+        pooled_k = jnp.einsum("bht,bhtd->bhd", k_w, k_heads)
+        pooled_k = drop(pooled_k, deterministic=deterministic)
+
+        value = nn.Dense(d, name="value")(x)
+        v_heads = value.reshape(b, t, h, dk).transpose(0, 2, 1, 3)
+        weighted_v = v_heads * pooled_k[:, :, None, :]
+        out = nn.Dense(d, name="transform")(
+            weighted_v.transpose(0, 2, 1, 3).reshape(b, t, d)
+        )
+        out = drop(out, deterministic=deterministic)
+        return out + query
