@@ -1,0 +1,270 @@
+"""Decoders: AR Transformer, MLM (Mask-CTC), and the Sim-T shared-MHA variant.
+
+Capability parity with:
+- espnet ``TransformerDecoder`` (registered by /root/reference/src/tasks/
+  avsr.py:52-59): token embed + abs pos-enc -> N x (self-attn with causal mask,
+  cross-attn over encoder memory, FFN), pre-norm, final LayerNorm + output
+  Dense to the vocabulary.
+- espnet ``MLMDecoder`` (/root/reference/src/models/maskctc_model.py:14): same
+  without causality, vocabulary + 1 for the <mask> token.
+- Sim-T ``DecoderLayerSimT`` (/root/reference/src/decoder/sim_t/transformer/
+  decoder_layer.py:60-189, arXiv:2304.04991): ONE shared MHA per layer serves
+  self-attn, cross-attn, and a post-MHA that re-applies the FIRST layer's
+  self-attention scores to freshly projected values; one shared FFN serves both
+  FFN sub-blocks.
+
+Decoding under jit recomputes the full prefix each step with a static max
+length (score_step) — the tensorized beam search in decode/beam_search.py
+builds on it. A KV-cache fast path can be layered underneath later without
+changing this contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tailored_avsr_tpu.ops.attention import MultiHeadedAttention
+from tailored_avsr_tpu.ops.feedforward import PositionwiseFeedForward
+from tailored_avsr_tpu.ops.posenc import AbsolutePositionalEncoding
+
+
+def causal_mask(b: int, t: int, lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(B, T, T) True where key j <= query i (and j < length if given)."""
+    m = jnp.tril(jnp.ones((t, t), dtype=bool))[None]
+    m = jnp.broadcast_to(m, (b, t, t))
+    if lengths is not None:
+        m = m & (jnp.arange(t)[None, None, :] < lengths[:, None, None])
+    return m
+
+
+class TransformerDecoderLayer(nn.Module):
+    size: int
+    attention_heads: int = 4
+    linear_units: int = 2048
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        self.self_attn = MultiHeadedAttention(
+            self.attention_heads, self.self_attention_dropout_rate, self.size,
+            name="self_attn",
+        )
+        self.src_attn = MultiHeadedAttention(
+            self.attention_heads, self.src_attention_dropout_rate, self.size,
+            name="src_attn",
+        )
+        self.feed_forward = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, "relu", name="feed_forward"
+        )
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.norm3 = nn.LayerNorm()
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, tgt, tgt_mask, memory, memory_mask, *, deterministic=True):
+        h = self.norm1(tgt)
+        tgt = tgt + self.dropout(
+            self.self_attn(h, h, h, tgt_mask, deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        h = self.norm2(tgt)
+        tgt = tgt + self.dropout(
+            self.src_attn(h, memory, memory, memory_mask, deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        h = self.norm3(tgt)
+        tgt = tgt + self.dropout(
+            self.feed_forward(h, deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        return tgt
+
+
+class SimTDecoderLayer(nn.Module):
+    """Parameter-efficient Sim-T layer: one MHA + one FFN reused."""
+
+    size: int
+    attention_heads: int = 4
+    linear_units: int = 2048
+    attention_dropout_rate: float = 0.0
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        self.mha_attn = MultiHeadedAttention(
+            self.attention_heads, self.attention_dropout_rate, self.size,
+            name="mha_attn",
+        )
+        self.feed_forward = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, "relu", name="feed_forward"
+        )
+        self.norm_mha = nn.LayerNorm()
+        self.norm_ffn = nn.LayerNorm()
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, tgt, tgt_mask, memory, memory_mask, s1, *, deterministic=True):
+        # pre-MHA (self-attention)
+        h = self.norm_mha(tgt)
+        out, self_scores = self.mha_attn.attend(
+            h, h, h, tgt_mask, deterministic=deterministic
+        )
+        x = tgt + self.dropout(out, deterministic=deterministic)
+        if s1 is None:
+            s1 = self_scores  # first layer donates its score matrix
+        # MHA (cross-attention) — shares the same projections
+        h = self.norm_mha(x)
+        x = x + self.dropout(
+            self.mha_attn(h, memory, memory, memory_mask, deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        # FFN
+        h = self.norm_ffn(x)
+        x = x + self.dropout(
+            self.feed_forward(h, deterministic=deterministic), deterministic=deterministic
+        )
+        # post-MHA: re-apply layer-1 self-attn scores to fresh values
+        h = self.norm_mha(x)
+        x = x + self.mha_attn.apply_scores(h, s1, deterministic=deterministic)
+        # FFN (shared weights again)
+        h = self.norm_ffn(x)
+        x = x + self.dropout(
+            self.feed_forward(h, deterministic=deterministic), deterministic=deterministic
+        )
+        return x, s1
+
+
+class _DecoderBase(nn.Module):
+    vocab_size: int
+    encoder_output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    use_output_layer: bool = True
+    layer_variant: str = "transformer"  # 'transformer' | 'sim_t'
+
+    def setup(self):
+        d = self.encoder_output_size
+        self.embed_tok = nn.Embed(self.vocab_size, d, name="embed")
+        self.pos_enc = AbsolutePositionalEncoding(self.positional_dropout_rate)
+        if self.layer_variant == "sim_t":
+            self.layers = [
+                SimTDecoderLayer(
+                    size=d,
+                    attention_heads=self.attention_heads,
+                    linear_units=self.linear_units,
+                    attention_dropout_rate=self.self_attention_dropout_rate,
+                    dropout_rate=self.dropout_rate,
+                    name=f"layer_{i}",
+                )
+                for i in range(self.num_blocks)
+            ]
+        else:
+            self.layers = [
+                TransformerDecoderLayer(
+                    size=d,
+                    attention_heads=self.attention_heads,
+                    linear_units=self.linear_units,
+                    self_attention_dropout_rate=self.self_attention_dropout_rate,
+                    src_attention_dropout_rate=self.src_attention_dropout_rate,
+                    dropout_rate=self.dropout_rate,
+                    name=f"layer_{i}",
+                )
+                for i in range(self.num_blocks)
+            ]
+        self.after_norm = nn.LayerNorm(name="after_norm")
+        if self.use_output_layer:
+            self.output_layer = nn.Dense(self.vocab_size, name="output_layer")
+
+    def _run(self, tgt, tgt_mask, memory, memory_mask, deterministic):
+        x = self.pos_enc(self.embed_tok(tgt), deterministic=deterministic)
+        s1 = None
+        for layer in self.layers:
+            if self.layer_variant == "sim_t":
+                x, s1 = layer(
+                    x, tgt_mask, memory, memory_mask, s1, deterministic=deterministic
+                )
+            else:
+                x = layer(x, tgt_mask, memory, memory_mask, deterministic=deterministic)
+        x = self.after_norm(x)
+        if self.use_output_layer:
+            x = self.output_layer(x)
+        return x
+
+
+class TransformerDecoder(_DecoderBase):
+    """Autoregressive decoder: causal self-attention."""
+
+    def __call__(
+        self,
+        memory: jnp.ndarray,
+        memory_mask: Optional[jnp.ndarray],
+        ys_in: jnp.ndarray,
+        ys_in_lengths: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, t = ys_in.shape
+        tgt_mask = causal_mask(b, t, ys_in_lengths)
+        return self._run(ys_in, tgt_mask, memory, memory_mask, deterministic)
+
+    def score_step(
+        self,
+        memory: jnp.ndarray,
+        memory_mask: Optional[jnp.ndarray],
+        ys: jnp.ndarray,
+        pos: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Log-probs of the token AT position ``pos`` given prefix ys[:, :pos].
+
+        ys is a fixed-size (B, Lmax) buffer; pos is a scalar int32. Used by the
+        jitted beam search (full-prefix recompute, static shapes).
+        """
+        b, t = ys.shape
+        tgt_mask = causal_mask(b, t) & (
+            jnp.arange(t)[None, None, :] < pos
+        )  # only the first `pos` tokens are visible
+        logits = self._run(ys, tgt_mask, memory, memory_mask, True)
+        step_logits = jnp.take_along_axis(
+            logits, (pos - 1)[None, None, None].repeat(b, 0), axis=1
+        ).squeeze(1)
+        return jax.nn.log_softmax(step_logits, axis=-1)
+
+
+class MLMDecoder(_DecoderBase):
+    """Mask-CTC MLM decoder: full (non-causal) self-attention over tokens."""
+
+    def __call__(
+        self,
+        memory: jnp.ndarray,
+        memory_mask: Optional[jnp.ndarray],
+        ys_in: jnp.ndarray,
+        ys_in_lengths: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, t = ys_in.shape
+        tgt_mask = (
+            jnp.arange(t)[None, :] < ys_in_lengths[:, None]
+        )  # (B, T) token-validity, full attention among valid tokens
+        return self._run(ys_in, tgt_mask, memory, memory_mask, deterministic)
+
+
+class SimTDecoder(TransformerDecoder):
+    """AR decoder built from Sim-T layers."""
+
+    layer_variant: str = "sim_t"
+
+
+class SimTMLMDecoder(MLMDecoder):
+    """Mask-CTC MLM decoder built from Sim-T layers
+    (/root/reference/src/decoder/sim_t/mlm_decoder.py)."""
+
+    layer_variant: str = "sim_t"

@@ -27,14 +27,15 @@ from tailored_avsr_tpu.ops.masking import MASK_MIN
 
 
 def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Softmax over the last axis with key-side masking.
+    """Softmax over the last axis with masking.
 
-    scores: (B, H, Tq, Tk); mask: (B, Tk) True=valid, or None.
-    Fully-masked rows produce zeros (matches espnet's masked_fill-after-softmax).
+    scores: (B, H, Tq, Tk); mask: (B, Tk) key-side or (B, Tq, Tk) pairwise,
+    True=valid, or None. Fully-masked rows produce zeros (matches espnet's
+    masked_fill-after-softmax).
     """
     scores = scores.astype(jnp.float32)
     if mask is not None:
-        m = mask[:, None, None, :]
+        m = mask[:, None, None, :] if mask.ndim == 2 else mask[:, None, :, :]
         scores = jnp.where(m, scores, MASK_MIN)
         attn = nn.softmax(scores, axis=-1)
         attn = jnp.where(m, attn, 0.0)
@@ -44,12 +45,34 @@ def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.nda
 
 
 class MultiHeadedAttention(nn.Module):
-    """Standard scaled dot-product multi-head attention."""
+    """Standard scaled dot-product multi-head attention.
+
+    Setup-style so decoders can reuse the projections and attention scores
+    (the Sim-T decoder shares one MHA across self/cross/"post" sub-blocks and
+    re-applies layer-1 scores to fresh values —
+    /root/reference/src/decoder/sim_t/transformer/decoder_layer.py:81-189).
+    ``mask`` may be (B, Tk) key-side or (B, Tq, Tk) pairwise (causal decoding).
+    """
 
     num_heads: int
     dropout_rate: float = 0.0
+    model_dim: Optional[int] = None  # required for attend/apply_scores methods
 
-    @nn.compact
+    def setup(self):
+        if self.model_dim is not None:
+            assert self.model_dim % self.num_heads == 0
+            d = self.model_dim
+            self.linear_q = nn.Dense(d, name="linear_q")
+            self.linear_k = nn.Dense(d, name="linear_k")
+            self.linear_v = nn.Dense(d, name="linear_v")
+            self.linear_out = nn.Dense(d, name="linear_out")
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _heads(self, y: jnp.ndarray) -> jnp.ndarray:
+        h = self.num_heads
+        dk = y.shape[-1] // h
+        return y.reshape(y.shape[:-1] + (h, dk)).transpose(0, 2, 1, 3)
+
     def __call__(
         self,
         query: jnp.ndarray,
@@ -58,25 +81,39 @@ class MultiHeadedAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_attn: bool = False,
+    ):
+        out, attn = self.attend(query, key, value, mask, deterministic=deterministic)
+        return (out, attn) if return_attn else out
+
+    def attend(self, query, key, value, mask=None, *, deterministic: bool = True):
         d = query.shape[-1]
-        h, dk = self.num_heads, d // self.num_heads
-        assert d % h == 0
-
-        def split(x, name):
-            y = nn.Dense(d, name=name)(x)
-            return y.reshape(y.shape[:-1] + (h, dk)).transpose(0, 2, 1, 3)
-
-        q = split(query, "linear_q")
-        k = split(key, "linear_k")
-        v = split(value, "linear_v")
-
+        if self.model_dim is None:
+            raise ValueError("MultiHeadedAttention requires model_dim")
+        dk = d // self.num_heads
+        q = self._heads(self.linear_q(query))
+        k = self._heads(self.linear_k(key))
+        v = self._heads(self.linear_v(value))
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(dk, jnp.float32))
         attn = _masked_softmax(scores, mask).astype(v.dtype)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        attn_d = self.dropout(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn_d, v)
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[:-1] + (d,))
-        return nn.Dense(d, name="linear_out")(out)
+        return self.linear_out(out), attn
+
+    def apply_scores(
+        self, values: jnp.ndarray, scores: jnp.ndarray, *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Project values and weight them by precomputed (B,H,Tq,Tk) scores.
+
+        Sim-T post-MHA: no output projection, matching the reference
+        (decoder_layer.py:165-189).
+        """
+        d = values.shape[-1]
+        v = self._heads(self.linear_v(values))
+        p = self.dropout(scores.astype(v.dtype), deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return out.transpose(0, 2, 1, 3).reshape(values.shape[0], -1, d)
 
 
 def rel_shift(x: jnp.ndarray) -> jnp.ndarray:

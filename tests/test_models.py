@@ -1,0 +1,400 @@
+"""Model-layer tests: Branchformer/Tailored/Conventional encoders, fusion,
+E2E ASR/VSR/AVSR models, decoders, Mask-CTC, LM (contracts per SURVEY.md §2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tailored_avsr_tpu.models import (
+    ASRModel,
+    AVSRModel,
+    AdaptiveAudioVisualFusion,
+    BranchformerEncoder,
+    CTCHead,
+    Conv3dResNet18,
+    ConventionalEncoder,
+    DefaultEmbeddingLayerForAVSR,
+    MLMDecoder,
+    MaskCTCModel,
+    SimTDecoder,
+    TailoredEncoder,
+    TransformerDecoder,
+    TransformerLM,
+)
+
+D = 32
+V = 11
+
+
+def small_branchformer(**kw):
+    cfg = dict(
+        output_size=D,
+        attention_heads=4,
+        linear_units=48,
+        cgmlp_linear_units=48,
+        cgmlp_conv_kernel=7,
+        num_blocks=2,
+        input_layer="conv2d",
+        dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+    )
+    cfg.update(kw)
+    return BranchformerEncoder(**cfg)
+
+
+def test_branchformer_encoder_shapes():
+    key = jax.random.PRNGKey(0)
+    enc = small_branchformer()
+    x = jax.random.normal(key, (2, 37, 20))
+    ilens = jnp.array([37, 25])
+    params = enc.init(key, x, ilens)
+    out, olens, aux = enc.apply(params, x, ilens)
+    assert out.shape == (2, ((37 - 1) // 2 - 1) // 2, D)
+    np.testing.assert_array_equal(np.asarray(olens), [8, 5])
+    # learned_ave merge produced per-layer weights
+    assert len(aux["branch_weights"]) == 2
+    w = aux["branch_weights"][0][1]
+    np.testing.assert_allclose(
+        np.asarray(w["weight_global"] + w["weight_local"]), 1.0, atol=1e-5
+    )
+
+
+def test_branchformer_merge_methods():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, 21, 20))
+    ilens = jnp.array([21, 15])
+    for mm in ("concat", "fixed_ave"):
+        enc = small_branchformer(merge_method=mm)
+        params = enc.init(key, x, ilens)
+        out, olens, _ = enc.apply(params, x, ilens)
+        assert out.shape[-1] == D
+
+
+def test_branchformer_interctc():
+    key = jax.random.PRNGKey(2)
+    enc = small_branchformer(
+        interctc_layer_idx=(1,), interctc_use_conditioning=True, vocab_size=V
+    )
+    ctc = CTCHead(V)
+    x = jax.random.normal(key, (2, 21, 20))
+    ilens = jnp.array([21, 15])
+
+    import flax.linen as nn
+
+    class Wrap(nn.Module):
+        def setup(self):
+            self.enc = enc
+            self.ctc = ctc
+
+        def __call__(self, x, ilens):
+            return self.enc(x, ilens, ctc=self.ctc)
+
+    m = Wrap()
+    params = m.init(key, x, ilens)
+    out, olens, aux = m.apply(params, x, ilens)
+    assert len(aux["intermediate_outs"]) == 1
+    assert aux["intermediate_outs"][0][0] == 1
+
+
+def test_visual_frontend():
+    key = jax.random.PRNGKey(3)
+    fe = Conv3dResNet18()
+    video = jax.random.normal(key, (2, 5, 48, 48))
+    lens = jnp.array([5, 3])
+    variables = fe.init(key, video, lens)
+    out, olens = fe.apply(variables, video, lens)
+    assert out.shape == (2, 5, 512)
+    np.testing.assert_array_equal(np.asarray(olens), [5, 3])
+    # train mode updates batch stats
+    out2, _ = fe.apply(
+        variables, video, lens, train=True, mutable=["batch_stats"]
+    )[0]
+    assert out2.shape == (2, 5, 512)
+
+
+def test_fusion_learned_ave():
+    key = jax.random.PRNGKey(4)
+    fu = AdaptiveAudioVisualFusion(output_size=D, hidden_units=48)
+    a = jax.random.normal(key, (2, 9, D))
+    v = jax.random.normal(key, (2, 9, D))
+    am = jnp.arange(9)[None, :] < jnp.array([9, 5])[:, None]
+    vm = jnp.arange(9)[None, :] < jnp.array([7, 9])[:, None]
+    params = fu.init(key, a, am, v, vm)
+    av, av_mask, aux = fu.apply(params, a, am, v, vm)
+    assert av.shape == (2, 9, D)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.sum(av_mask, -1)), [9, 9]
+    )  # OR of masks
+    np.testing.assert_allclose(
+        np.asarray(aux["acoustic_weight"] + aux["visual_weight"]), 1.0, atol=1e-5
+    )
+
+
+def make_tailored(num_blocks=2):
+    return TailoredEncoder(
+        output_size=D,
+        attention_heads=4,
+        linear_units=48,
+        cgmlp_linear_units=48,
+        cgmlp_conv_kernel=7,
+        num_blocks=num_blocks,
+        dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0,
+        acoustic_use_attn=(True, False),
+        visual_use_attn=(False, True),
+    )
+
+
+def test_tailored_encoder():
+    key = jax.random.PRNGKey(5)
+    enc = make_tailored()
+    from tailored_avsr_tpu.ops.posenc import RelPositionalEncoding
+
+    a = jax.random.normal(key, (2, 9, D))
+    v = jax.random.normal(key, (2, 9, D))
+    pos = RelPositionalEncoding(0.0)
+    pv = pos.init(key, a)
+    a_, apos = pos.apply(pv, a)
+    v_, vpos = pos.apply(pv, v)
+    am = jnp.arange(9)[None, :] < jnp.array([9, 5])[:, None]
+    vm = jnp.arange(9)[None, :] < jnp.array([9, 5])[:, None]
+    params = enc.init(key, a_, apos, am, v_, vpos, vm)
+    ao, am2, vo, vm2, aux = enc.apply(params, a_, apos, am, v_, vpos, vm)
+    assert ao.shape == (2, 9, D) and vo.shape == (2, 9, D)
+    # parameter sharing: macaron/ffn params exist once per layer (shared)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {"/".join(str(p) for p in path) for path, _ in flat}
+    assert any("layer_0" in n and "feed_forward_macaron" in n for n in names)
+
+
+def build_asr_model(ctc_weight=0.3, input_layer="conv2d", frontend=None, decoder="transformer"):
+    enc = small_branchformer(input_layer=input_layer)
+    dec = None
+    if ctc_weight < 1.0:
+        cls = {"transformer": TransformerDecoder, "sim_t": SimTDecoder}[decoder]
+        dec = cls(
+            vocab_size=V,
+            encoder_output_size=D,
+            attention_heads=4,
+            linear_units=48,
+            num_blocks=2,
+            dropout_rate=0.0,
+            positional_dropout_rate=0.0,
+        )
+    return ASRModel(
+        vocab_size=V,
+        encoder=enc,
+        ctc=CTCHead(V),
+        decoder=dec,
+        frontend=frontend,
+        ctc_weight=ctc_weight,
+        lsm_weight=0.1,
+    )
+
+
+def test_asr_model_hybrid_loss():
+    key = jax.random.PRNGKey(6)
+    model = build_asr_model()
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    params = model.init(key, feats, flens, text, tlens)
+    loss, stats = model.apply(params, feats, flens, text, tlens)
+    assert np.isfinite(float(loss))
+    assert "loss_ctc" in stats and "loss_att" in stats and "acc" in stats
+    want = 0.3 * float(stats["loss_ctc"]) + 0.7 * float(stats["loss_att"])
+    np.testing.assert_allclose(float(loss), want, rtol=1e-6)
+    # jitted apply works
+    jloss, _ = jax.jit(lambda p, *a: model.apply(p, *a))(params, feats, flens, text, tlens)
+    np.testing.assert_allclose(float(jloss), float(loss), rtol=1e-3)
+
+
+def test_asr_model_ctc_only_and_greedy():
+    key = jax.random.PRNGKey(7)
+    model = build_asr_model(ctc_weight=1.0)
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    params = model.init(key, feats, flens, text, tlens)
+    loss, stats = model.apply(params, feats, flens, text, tlens)
+    assert np.isfinite(float(loss)) and "loss_att" not in stats
+    ids, lens = model.apply(params, feats, flens, method="ctc_greedy")
+    assert ids.shape[0] == 2 and ids.shape[1] == ((45 - 1) // 2 - 1) // 2
+
+
+def test_asr_model_train_mode_rngs():
+    key = jax.random.PRNGKey(8)
+    model = build_asr_model()
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    params = model.init(key, feats, flens, text, tlens)
+    loss, _ = model.apply(
+        params, feats, flens, text, tlens,
+        deterministic=False,
+        rngs={"dropout": key, "skip": key, "specaug": key},
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_sim_t_decoder_param_sharing():
+    key = jax.random.PRNGKey(9)
+    model = build_asr_model(decoder="sim_t")
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    params = model.init(key, feats, flens, text, tlens)
+    loss, _ = model.apply(params, feats, flens, text, tlens)
+    assert np.isfinite(float(loss))
+    # Sim-T layer must have exactly one attention block (mha_attn), no src_attn
+    dec_params = params["params"]["decoder"]["layer_0"]
+    assert "mha_attn" in dec_params and "src_attn" not in dec_params
+
+
+def build_avsr_model(encoder="tailored", interctc=False):
+    if encoder == "tailored":
+        enc = TailoredEncoder(
+            output_size=D,
+            attention_heads=4,
+            linear_units=48,
+            cgmlp_linear_units=48,
+            cgmlp_conv_kernel=7,
+            num_blocks=2,
+            dropout_rate=0.0,
+            positional_dropout_rate=0.0,
+            attention_dropout_rate=0.0,
+            acoustic_use_attn=(True, False),
+            visual_use_attn=(False, True),
+            interctc_layer_idx=(1,) if interctc else (),
+            interctc_use_conditioning=interctc,
+        )
+    else:
+        enc = ConventionalEncoder(
+            output_size=D,
+            attention_heads=4,
+            linear_units=48,
+            cgmlp_linear_units=48,
+            cgmlp_conv_kernel=7,
+            num_blocks=2,
+            dropout_rate=0.0,
+            attention_dropout_rate=0.0,
+        )
+    dec = TransformerDecoder(
+        vocab_size=V, encoder_output_size=D, attention_heads=4,
+        linear_units=48, num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+    )
+    return AVSRModel(
+        vocab_size=V,
+        encoder=enc,
+        audiovisual_fusion=AdaptiveAudioVisualFusion(output_size=D, hidden_units=48),
+        ctc=CTCHead(V),
+        acoustic_embed=DefaultEmbeddingLayerForAVSR(
+            output_size=D, input_layer="conv2d", dropout_rate=0.0, positional_dropout_rate=0.0
+        ),
+        visual_embed=DefaultEmbeddingLayerForAVSR(
+            output_size=D, input_layer="linear", dropout_rate=0.0, positional_dropout_rate=0.0
+        ),
+        decoder=dec,
+        ctc_weight=0.1,
+        interctc_weight=0.5 if interctc else 0.0,
+        lsm_weight=0.1,
+    )
+
+
+def avsr_batch(key):
+    # audio: fbank-like feats (frontend=None in this test); video: 512-d feats
+    a = jax.random.normal(key, (2, 37, 20))
+    alens = jnp.array([37, 21])
+    v = jax.random.normal(key, (2, 8, 512))
+    vlens = jnp.array([8, 5])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    return a, alens, v, vlens, text, tlens
+
+
+@pytest.mark.parametrize("encoder", ["tailored", "conventional"])
+def test_avsr_model(encoder):
+    key = jax.random.PRNGKey(10)
+    model = build_avsr_model(encoder)
+    batch = avsr_batch(key)
+    params = model.init(key, *batch)
+    loss, stats = model.apply(params, *batch)
+    assert np.isfinite(float(loss))
+    assert "fusion_weights" in stats
+    # audio x4-subsampled to 8 frames == video length -> aligned
+
+
+def test_avsr_interctc():
+    key = jax.random.PRNGKey(11)
+    model = build_avsr_model("tailored", interctc=True)
+    batch = avsr_batch(key)
+    params = model.init(key, *batch)
+    loss, stats = model.apply(params, *batch)
+    assert np.isfinite(float(loss))
+    assert "loss_interctc_layer1" in stats
+
+
+def test_maskctc_model():
+    key = jax.random.PRNGKey(12)
+    enc = small_branchformer(input_layer="conv2d")
+    dec = MLMDecoder(
+        vocab_size=V + 1, encoder_output_size=D, attention_heads=4,
+        linear_units=48, num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+    )
+    model = MaskCTCModel(
+        vocab_size=V, encoder=enc, ctc=CTCHead(V), decoder=dec,
+        ctc_weight=0.3, lsm_weight=0.1,
+    )
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    params = model.init({"params": key, "mlm": key}, feats, flens, text, tlens)
+    loss, stats = model.apply(
+        params, feats, flens, text, tlens,
+        deterministic=False,
+        rngs={"dropout": key, "skip": key, "specaug": key, "mlm": key},
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_transformer_lm():
+    key = jax.random.PRNGKey(13)
+    lm = TransformerLM(vocab_size=V, att_unit=D, head=4, unit=48, layer=2,
+                       dropout_rate=0.0, positional_dropout_rate=0.0)
+    toks = jnp.array([[1, 2, 3, -1], [4, 5, 6, 7]])
+    lens = jnp.array([3, 4])
+    params = lm.init(key, toks, lens)
+    logits = lm.apply(params, toks, lens)
+    assert logits.shape == (2, 4, V)
+    nll, counts = lm.apply(params, toks, lens, method="nll")
+    assert nll.shape == (2,)
+    np.testing.assert_array_equal(np.asarray(counts), [4, 5])
+    # score_step consistency: step log-probs match full forward
+    ys = jnp.array([[V - 1, 1, 2, 0], [V - 1, 4, 5, 0]])
+    logp = lm.apply(params, ys, jnp.array(3), method="score_step")
+    assert logp.shape == (2, V)
+    np.testing.assert_allclose(np.asarray(jnp.exp(logp).sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_decoder_score_step_matches_forward():
+    key = jax.random.PRNGKey(14)
+    dec = TransformerDecoder(
+        vocab_size=V, encoder_output_size=D, attention_heads=4,
+        linear_units=48, num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+    )
+    mem = jax.random.normal(key, (2, 7, D))
+    mem_mask = jnp.ones((2, 7), bool)
+    ys = jnp.array([[V - 1, 1, 2, 0], [V - 1, 3, 4, 0]])
+    params = dec.init(key, mem, mem_mask, ys, jnp.array([4, 4]))
+    # full forward on prefix of length 3; logits at position 2 predict token 3
+    logits = dec.apply(params, mem, mem_mask, ys, jnp.array([3, 3]))
+    full_lp = jax.nn.log_softmax(logits[:, 2].astype(jnp.float32), -1)
+    step_lp = dec.apply(params, mem, mem_mask, ys, jnp.array(3), method="score_step")
+    np.testing.assert_allclose(np.asarray(step_lp), np.asarray(full_lp), atol=1e-5)
