@@ -1,0 +1,192 @@
+"""Batched, fully-jitted joint CTC/attention beam search with LM shallow fusion.
+
+TPU-native re-design of espnet's ``BeamSearch``/``BatchBeamSearch`` as driven
+by the reference (/root/reference/src/inference/avsr_inference.py:249-311:
+scorers {decoder: 1-w, ctc: w, lm: lm_w, length_bonus: penalty}). The
+object-oriented, dynamically-shaped hypothesis sets become fixed-shape
+tensorized beams (SURVEY.md §7 "hard parts"):
+
+- hypotheses live in a static (B, K, L+1) token buffer; per-step scoring is a
+  full-prefix recompute through the decoder (traced once, static shapes);
+- the CTC prefix scorer is the scanned DP in ``ctc_prefix.py``, evaluated only
+  for the top ``pre_beam`` candidates (espnet's partial-scorer pruning);
+- finished hypotheses (eos emitted) migrate to a separate finished buffer via
+  a top-k merge each step; at each utterance's maxlen the search is forced to
+  emit eos (espnet appends eos at maxlen);
+- the whole search is one ``lax.fori_loop`` — jittable, batched over B
+  utterances (the reference decodes batch_size=1 only; pod-batched decoding is
+  the main RTF headroom identified in SURVEY.md §7.9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tailored_avsr_tpu.decode.ctc_prefix import (
+    CTCPrefixState,
+    ctc_prefix_init_state,
+    ctc_prefix_score_step,
+    ctc_prefix_select,
+    neutralize_padding,
+)
+
+NEG_INF = -1.0e10
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchConfig:
+    beam_size: int = 30
+    ctc_weight: float = 0.1
+    lm_weight: float = 0.0
+    penalty: float = 0.0
+    maxlenratio: float = 0.0
+    minlenratio: float = 0.0
+    pre_beam_ratio: float = 1.5
+    nbest: int = 1
+
+
+class BeamSearchResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, nbest, L+2) includes sos ... eos, padded with eos
+    scores: jnp.ndarray  # (B, nbest)
+    lengths: jnp.ndarray  # (B, nbest) token count excluding sos/eos
+
+
+def beam_search(
+    att_score_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    ctc_logp: jnp.ndarray,  # (B, T, V) CTC log-probs from the encoder
+    enc_lens: jnp.ndarray,  # (B,)
+    sos: int,
+    eos: int,
+    config: BeamSearchConfig,
+    lm_score_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+    blank_id: int = 0,
+) -> BeamSearchResult:
+    """att_score_fn(ys (N, L+2), pos scalar) -> (N, V) step log-probs.
+
+    N = B * beam_size; ys rows are sos-prefixed fixed-size buffers.
+    """
+    b, t, v = ctc_logp.shape
+    k = config.beam_size
+    p = min(v, max(1, int(config.pre_beam_ratio * k)))
+    lmax = t  # decode at most one token per encoder frame
+    n = b * k
+
+    use_ctc = config.ctc_weight > 0.0
+    att_w = 1.0 - config.ctc_weight
+    maxlen = jnp.maximum(
+        1,
+        (
+            enc_lens
+            if config.maxlenratio == 0.0
+            else jnp.floor(config.maxlenratio * enc_lens).astype(jnp.int32)
+        ),
+    )  # (B,)
+    minlen = jnp.floor(config.minlenratio * enc_lens).astype(jnp.int32)
+
+    logp_flat = jnp.repeat(
+        neutralize_padding(ctc_logp, enc_lens, blank_id), k, axis=0
+    )  # (N, T, V) — hypothesis i of utterance b lives at row b*k+i forever
+    ctc_state = ctc_prefix_init_state(logp_flat, blank_id)
+
+    ys = jnp.full((b, k, lmax + 2), eos, jnp.int32).at[:, :, 0].set(sos)
+    scores = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
+    fin_tokens = jnp.full((b, k, lmax + 2), eos, jnp.int32)
+    fin_scores = jnp.full((b, k), NEG_INF)
+    fin_lengths = jnp.zeros((b, k), jnp.int32)
+
+    def step(i, carry):
+        ys, scores, ctc_state, fin_tokens, fin_scores, fin_lengths = carry
+        pos = i + 1  # position being generated
+        ys_flat = ys.reshape(n, lmax + 2)
+        att_logp = att_score_fn(ys_flat, jnp.asarray(pos))  # (N, V)
+        step_logp = att_w * att_logp
+        if lm_score_fn is not None and config.lm_weight > 0.0:
+            step_logp = step_logp + config.lm_weight * lm_score_fn(
+                ys_flat, jnp.asarray(pos)
+            )
+        step_logp = step_logp + config.penalty  # LengthBonus: +1 per token
+
+        # eos gating: block eos before minlen, force eos at maxlen
+        pos_b = jnp.full((b,), i, jnp.int32)
+        block_eos = (pos_b < minlen)[:, None, None]  # (B,1,1)
+        force_eos = (pos_b >= maxlen - 1)[:, None, None]
+        is_eos = (jnp.arange(v) == eos)[None, None, :]
+        gate = jnp.zeros((b, 1, v))
+        gate = jnp.where(block_eos & is_eos, NEG_INF, gate)
+        gate = jnp.where(force_eos & ~is_eos, NEG_INF, gate)
+        step_logp = step_logp + gate.repeat(k, axis=1).reshape(n, v)
+        # blank is never a decoder output
+        step_logp = step_logp.at[:, blank_id].add(NEG_INF)
+
+        # pre-beam candidate selection on the full (decoder+lm) scores
+        pre_scores, cand_ids = jax.lax.top_k(step_logp, p)  # (N, P)
+        if use_ctc:
+            psi, r_new = ctc_prefix_score_step(
+                logp_flat, ctc_state, cand_ids, eos, blank_id
+            )
+            ctc_delta = psi - ctc_state.score[:, None]
+            cand_scores = pre_scores + config.ctc_weight * ctc_delta
+        else:
+            psi = r_new = None
+            cand_scores = pre_scores
+        total = scores.reshape(n, 1) + cand_scores  # (N, P)
+        total = jnp.maximum(total, NEG_INF)
+
+        # ----- split candidates into finished (eos) and alive (non-eos) -----
+        cand_tok = cand_ids.reshape(b, k * p)
+        cand_total = total.reshape(b, k * p)
+        eos_cand = cand_tok == eos
+
+        # merge newly finished into the finished buffer (top-k of 2k*p... keep k)
+        fin_cand_scores = jnp.where(eos_cand, cand_total, NEG_INF)  # (B, K*P)
+        merged_scores = jnp.concatenate([fin_scores, fin_cand_scores], axis=1)
+        top_fin, top_fin_idx = jax.lax.top_k(merged_scores, k)  # (B, K)
+        from_old = top_fin_idx < k
+        new_src = jnp.clip(top_fin_idx - k, 0, k * p - 1) // p  # source hyp in beam
+        # finished token buffer: old rows keep theirs; new rows = ys[src] + eos at pos
+        batch_idx = jnp.arange(b)[:, None]
+        new_fin_tokens = ys[batch_idx, new_src]  # (B, K, L+2)
+        new_fin_tokens = new_fin_tokens.at[:, :, pos].set(eos)
+        old_rows = jnp.clip(top_fin_idx, 0, k - 1)
+        fin_tokens = jnp.where(
+            from_old[..., None],
+            fin_tokens[batch_idx, old_rows],
+            new_fin_tokens,
+        )
+        fin_lengths = jnp.where(
+            from_old, fin_lengths[batch_idx, old_rows], jnp.full_like(new_src, i)
+        )
+        fin_scores = top_fin
+
+        # alive: top-k non-eos candidates
+        alive_scores_all = jnp.where(eos_cand, NEG_INF, cand_total)
+        top_alive, top_alive_idx = jax.lax.top_k(alive_scores_all, k)  # (B, K)
+        src_hyp = top_alive_idx // p  # (B, K) source row in beam
+        sel_cand = top_alive_idx % p
+        new_ys = ys[batch_idx, src_hyp]
+        new_tok = cand_tok[batch_idx, top_alive_idx]
+        new_ys = new_ys.at[:, :, pos].set(new_tok)
+
+        if use_ctc:
+            g_src = (jnp.arange(b)[:, None] * k + src_hyp).reshape(n)
+            ctc_state = ctc_prefix_select(
+                ctc_state, psi, r_new, cand_ids, g_src, sel_cand.reshape(n)
+            )
+        return (new_ys, top_alive, ctc_state, fin_tokens, fin_scores, fin_lengths)
+
+    carry = (ys, scores, ctc_state, fin_tokens, fin_scores, fin_lengths)
+    carry = jax.lax.fori_loop(0, lmax, step, carry)
+    _, _, _, fin_tokens, fin_scores, fin_lengths = carry
+
+    nbest = min(config.nbest, k)
+    best_scores, best_idx = jax.lax.top_k(fin_scores, nbest)
+    batch_idx = jnp.arange(b)[:, None]
+    return BeamSearchResult(
+        tokens=fin_tokens[batch_idx, best_idx],
+        scores=best_scores,
+        lengths=fin_lengths[batch_idx, best_idx],
+    )
