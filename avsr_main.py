@@ -1,0 +1,281 @@
+#!/usr/bin/env python
+"""CLI train/inference driver — public-API mirror of the reference's
+/root/reference/avsr_main.py (same flags, modes, epoch loop behavior,
+top-K checkpoint averaging, .inf/.wer outputs), built on the TPU-native
+framework: jitted train/eval steps, batched jitted beam search, data-parallel
+mesh when multiple devices are visible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tailored_avsr_tpu.data import (
+    AVSRDataLoader,
+    AVSRDataset,
+    get_tokenizer_converter,
+)
+from tailored_avsr_tpu.data.dataset import load_wav
+from tailored_avsr_tpu.data.transforms_audio import (
+    AddNoise,
+    Compose,
+    SpeedRate,
+)
+from tailored_avsr_tpu.data.transforms_audio import TimeMasking as AudioTimeMasking
+from tailored_avsr_tpu.data.transforms_video import (
+    CenterCrop,
+    HorizontalFlip,
+    Normalise,
+    RandomCrop,
+)
+from tailored_avsr_tpu.data.transforms_video import TimeMasking as VideoTimeMasking
+from tailored_avsr_tpu.decode.greedy import ctc_greedy_collapse
+from tailored_avsr_tpu.evaluation import compute_bootstrap_wer, write_inf_file
+from tailored_avsr_tpu.evaluation.wer import cer_from_ids
+from tailored_avsr_tpu.inference import Speech2Text
+from tailored_avsr_tpu.tasks import ASRTask, AVSRTask
+from tailored_avsr_tpu.train import (
+    average_models,
+    create_train_state,
+    freeze_mask,
+    load_e2e,
+    make_eval_step,
+    make_train_step,
+    save_model,
+    save_val_stats,
+    set_optimizer,
+)
+from tailored_avsr_tpu.train.checkpoint import load_model, top_k_epochs
+from tailored_avsr_tpu.utils import load_config, security_checks
+
+BATCH_KEYS = {
+    "asr": ("speech", "speech_lengths", "text", "text_lengths"),
+    "vsr": ("speech", "speech_lengths", "text", "text_lengths"),
+    "avsr": ("audio", "audio_lengths", "video", "video_lengths", "text", "text_lengths"),
+}
+
+
+def batch_tuple(batch, task, mask="none"):
+    arrs = [jnp.asarray(batch[k]) for k in BATCH_KEYS[task]]
+    if task == "avsr" and mask == "audio":
+        arrs[0] = arrs[0] * 0.0
+    if task == "avsr" and mask == "video":
+        arrs[2] = arrs[2] * 0.0
+    return tuple(arrs)
+
+
+def collapse_refs(text, text_lengths):
+    return [list(t[:l]) for t, l in zip(np.asarray(text), np.asarray(text_lengths))]
+
+
+def run_training(args, config, tokenizer, converter, transforms):
+    task = config.task
+    token_list = converter.token_list
+    task_cls = AVSRTask if task == "avsr" else ASRTask
+    model = task_cls.build_model(config, token_list)
+    ts = config.training_settings
+
+    def loader(path, is_training, audio_tf, video_tf):
+        ds = AVSRDataset(
+            path, task=task,
+            nframes_limit=ts.get("nframes") if is_training else None,
+            is_training=is_training,
+        )
+        return AVSRDataLoader(
+            ds, ts["batch_size"], task=task,
+            audio_transforms=audio_tf, video_transforms=video_tf,
+            tokenizer=tokenizer, converter=converter, is_training=is_training,
+        )
+
+    train_loader = loader(args.training_dataset, True, transforms["train_audio"], transforms["train_video"])
+    val_loader = loader(args.validation_dataset, False, transforms["eval_audio"], transforms["eval_video"])
+    test_loader = loader(args.test_dataset, False, transforms["eval_audio"], transforms["eval_video"])
+
+    # init params from the first batch's shapes
+    rng = jax.random.PRNGKey(int(ts.get("seed", 0)))
+    first = next(iter(train_loader))
+    init_batch = batch_tuple(first, task)
+    variables = model.init({"params": rng, "mlm": rng}, *init_batch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"model parameters: {n_params / 1e6:.1f}M")
+
+    if args.load_checkpoint:
+        variables = load_e2e(variables, args.load_checkpoint, args.load_modules)
+    frozen = None
+    if args.freeze_modules and args.freeze_modules != ["no-frozen"]:
+        frozen = freeze_mask(variables["params"], args.freeze_modules)
+
+    tx, _ = set_optimizer(ts, model_size=int(
+        (getattr(config, "encoder_conf", {}) or {}).get("output_size", 256)
+    ), steps_per_epoch=len(train_loader), frozen_mask=frozen)
+    state = create_train_state(variables, tx)
+    train_step = make_train_step(model, tx, BATCH_KEYS[task])
+    eval_step = make_eval_step(model, BATCH_KEYS[task])
+
+    def validation(loader):
+        tot_loss, n, refs, hyps = 0.0, 0, [], []
+        for batch in loader:
+            out = eval_step(state, batch_tuple(batch, task))
+            tot_loss += float(out["loss"])
+            n += 1
+            hyp_ids = ctc_greedy_collapse(
+                np.asarray(out["ctc_argmax"]), np.asarray(out["ctc_argmax_lens"])
+            )
+            refs.extend(collapse_refs(batch["text"], batch["text_lengths"]))
+            hyps.extend(hyp_ids)
+        cer = cer_from_ids(refs, hyps)
+        return tot_loss / max(n, 1), cer
+
+    os.makedirs(os.path.join(args.output_dir, "models"), exist_ok=True)
+    val_stats = []
+    print("\nTRAINING PHASE\n")
+    for epoch in range(1, ts["epochs"] + 1):
+        t0 = time.time()
+        tot, n = 0.0, 0
+        for batch in train_loader:
+            state, stats = train_step(state, batch_tuple(batch, task), rng)
+            tot += float(stats["loss"])
+            n += 1
+        train_loss = tot / max(n, 1)
+        val_loss, val_cer = validation(val_loader)
+        test_loss, test_cer = validation(test_loader)
+        print(
+            f"Epoch {epoch}: TRAIN LOSS={train_loss:.3f} || VAL LOSS={val_loss:.3f} "
+            f"| VAL CER={val_cer:.2f}% || TEST LOSS={test_loss:.3f} "
+            f"| TEST CER={test_cer:.2f}% || {time.time() - t0:.1f}s"
+        )
+        ckpt = os.path.join(args.output_dir, "models", f"model_{epoch:03d}.ckpt")
+        save_model(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+            ckpt,
+        )
+        val_stats.append({"epoch": epoch, "cer": val_cer, "path": ckpt})
+
+    save_val_stats(
+        os.path.join(args.output_dir, "val_stats.csv"),
+        [{"epoch": r["epoch"], "cer": r["cer"]} for r in val_stats],
+    )
+    best = top_k_epochs(val_stats, ts["average_epochs"])
+    paths = [os.path.join(args.output_dir, "models", f"model_{e:03d}.ckpt") for e in best]
+    template = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    avg = average_models(template, paths)
+    save_model(avg, os.path.join(args.output_dir, "models", "model_average.ckpt"))
+    print(f"averaged top-{len(paths)} checkpoints -> model_average.ckpt")
+
+
+def run_inference(args, config, tokenizer, converter, transforms):
+    print("\nINFERENCE PHASE\n")
+    task = config.task
+    lm_config = load_config(args.lm_config_file) if args.lm_config_file else None
+    s2t = Speech2Text(
+        config,
+        ckpt_path=args.load_checkpoint or None,
+        lm_config=lm_config,
+        lm_ckpt_path=args.load_lm or None,
+    )
+    ds = AVSRDataset(args.test_dataset, task=task, is_training=False)
+    inf_batch = int((getattr(config, "inference_conf", {}) or {}).get("batch_size", 1))
+    loader = AVSRDataLoader(
+        ds, inf_batch, task=task,
+        audio_transforms=transforms["eval_audio"],
+        video_transforms=transforms["eval_video"],
+        tokenizer=tokenizer, converter=converter, is_training=False,
+    )
+    pairs = []
+    t0 = time.time()
+    for batch in loader:
+        if task == "avsr" and args.mask == "audio":
+            batch["audio"] = batch["audio"] * 0.0
+        if task == "avsr" and args.mask == "video":
+            batch["video"] = batch["video"] * 0.0
+        results = s2t(batch)
+        for ref, (text, _, _) in zip(batch["refs"], results):
+            pairs.append((ref, text))
+            print(f"REF: {ref}\nHYP: {text}\n")
+    dt = time.time() - t0
+    os.makedirs(os.path.join(args.output_dir, "inference"), exist_ok=True)
+    inf_path = os.path.join(args.output_dir, "inference", args.output_name + ".inf")
+    write_inf_file(inf_path, pairs)
+    wer, cer, ci_w, ci_c = compute_bootstrap_wer(inf_path)
+    with open(os.path.join(args.output_dir, "inference", args.output_name + ".wer"), "w") as f:
+        f.write(f"WER: {wer:.2f} +- {ci_w:.2f}\nCER: {cer:.2f} +- {ci_c:.2f}\n")
+    print(f"%WER {wer:.2f} ± {ci_w:.2f} | %CER {cer:.2f} ± {ci_c:.2f} | {dt:.1f}s")
+
+
+def build_transforms(args):
+    mean, std = 0.421, 0.165
+    noise = load_wav(args.noise) if args.noise and os.path.exists(args.noise) else None
+    return {
+        "train_audio": Compose([SpeedRate(sample_rate=16000)]),
+        "eval_audio": Compose(
+            [AddNoise(noise=noise, snr_target=args.snr_target)]
+        ),
+        "train_video": Compose([
+            Normalise(0.0, 250.0),
+            Normalise(mean, std),
+            VideoTimeMasking(),
+            RandomCrop((88, 88)),
+            HorizontalFlip(0.5),
+        ]),
+        "eval_video": Compose([
+            Normalise(0.0, 250.0),
+            Normalise(mean, std),
+            CenterCrop((88, 88)),
+        ]),
+    }
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(
+        description="Automatic Audio-Visual Speech Recognition System (TPU-native).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--training-dataset", default="", type=str)
+    parser.add_argument("--validation-dataset", default="", type=str)
+    parser.add_argument("--test-dataset", default="", type=str)
+    parser.add_argument("--mode", default="both", type=str,
+                        help="'training', 'inference' or 'both'")
+    parser.add_argument("--mask", default="none", type=str,
+                        help="'audio', 'video' or 'none'")
+    parser.add_argument("--snr-target", default=9999, type=int)
+    parser.add_argument("--noise", default="", type=str)
+    parser.add_argument("--config-file", required=True, type=str)
+    parser.add_argument("--load-checkpoint", default="", type=str)
+    parser.add_argument("--lm-config-file", default="", type=str)
+    parser.add_argument("--load-lm", default="", type=str)
+    parser.add_argument("--load-modules", nargs="+", default=["entire-e2e"], type=str)
+    parser.add_argument("--freeze-modules", nargs="+", default=["no-frozen"], type=str)
+    parser.add_argument("--yaml-overrides", metavar="CONF:KEY:VALUE", nargs="*")
+    parser.add_argument("--output-dir", required=True, type=str)
+    parser.add_argument("--output-name", required=True, type=str)
+    return parser
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    config = load_config(args.config_file, args.yaml_overrides)
+    security_checks(config)
+    tokenizer, converter = get_tokenizer_converter(config)
+    transforms = build_transforms(args)
+    if args.mode in ("training", "both"):
+        run_training(args, config, tokenizer, converter, transforms)
+        if args.mode == "both" and not args.load_checkpoint:
+            args.load_checkpoint = os.path.join(
+                args.output_dir, "models", "model_average.ckpt"
+            )
+    if args.mode in ("inference", "both"):
+        run_inference(args, config, tokenizer, converter, transforms)
+
+
+if __name__ == "__main__":
+    main()

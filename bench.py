@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: batched AVSR inference real-time factor on the flagship tailored
+model (256-d, 12-block tailored audio-visual Branchformer, the reference's
+headline config), measured on whatever accelerator JAX sees (TPU chip under
+the driver; CPU locally).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: real-time factor of full AVSR inference (audio+video frontends,
+tailored encoder, fusion, greedy CTC) = audio-seconds transcribed per wall
+second per chip. The reference repo publishes no RTF numbers
+(BASELINE.md); the north-star is >=5x an A100 PyTorch baseline. A100
+PyTorch inference of comparable AVSR stacks runs around ~30x real time at
+batch 1 (espnet-class models); vs_baseline reports value / (5 * 30) — i.e.
+progress toward the 5x-A100 target under that stand-in until a measured
+A100 number exists.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_flagship
+
+    model = _build_flagship()
+
+    batch, frames = 8, 100  # 4-second utterances at 25 fps
+    rng = np.random.RandomState(0)
+    samples = frames * 640
+    audio = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
+    alens = jnp.full((batch,), samples, np.int32)
+    video = jnp.asarray(rng.randn(batch, frames, 88, 88).astype(np.float32))
+    vlens = jnp.full((batch,), frames, np.int32)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)},
+        audio, alens, video, vlens,
+        jnp.ones((batch, 8), jnp.int32), jnp.full((batch,), 8, np.int32),
+    )
+
+    @jax.jit
+    def infer(audio, alens, video, vlens):
+        ids, lens = model.apply(
+            variables, audio, alens, video, vlens, method="ctc_greedy"
+        )
+        return ids, lens
+
+    # warmup/compile
+    ids, lens = infer(audio, alens, video, vlens)
+    ids.block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ids, lens = infer(audio, alens, video, vlens)
+    ids.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = batch * samples / 16000.0
+    rtf = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "avsr_inference_rtf_greedy_batch8",
+                "value": round(rtf, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rtf / 150.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

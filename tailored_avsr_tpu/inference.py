@@ -1,0 +1,192 @@
+"""Speech2Text: config + checkpoint -> jitted batched inference engine.
+
+Capability parity with the reference's ``Speech2Text`` classes
+(/root/reference/src/inference/asr_inference.py:52-547, avsr_inference.py,
+asr_inference_maskctc.py): build the model from config+checkpoint, optional
+Transformer-LM shallow fusion, joint CTC/attention beam search with the
+weights {decoder: 1-w, ctc: w, lm: lm_w, length_bonus: penalty}, n-best
+output; the Mask-CTC variant runs the iterative-refinement decoder. Also the
+CTC-greedy fast path.
+
+TPU-first: decoding is batched (the reference pins batch_size=1 — SURVEY.md
+§7.9 identifies pod-batched inference as the main RTF headroom) and the whole
+search runs as one jitted graph per bucket shape.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tailored_avsr_tpu.data.tokenizer import get_tokenizer_converter, load_token_list
+from tailored_avsr_tpu.decode.beam_search import BeamSearchConfig, beam_search
+from tailored_avsr_tpu.decode.greedy import ctc_greedy_collapse
+from tailored_avsr_tpu.decode.maskctc import maskctc_decode
+from tailored_avsr_tpu.ops.masking import make_valid_mask
+from tailored_avsr_tpu.tasks.asr import ASRTask
+from tailored_avsr_tpu.tasks.avsr import AVSRTask
+from tailored_avsr_tpu.tasks.lm import LMTask
+from tailored_avsr_tpu.train.checkpoint import load_model
+
+
+class Speech2Text:
+    def __init__(
+        self,
+        config,
+        ckpt_path: Optional[str] = None,
+        lm_config=None,
+        lm_ckpt_path: Optional[str] = None,
+        rng_seed: int = 0,
+    ):
+        self.config = config
+        self.task = getattr(config, "task", "avsr")
+        self.tokenizer, self.converter = get_tokenizer_converter(config)
+        token_list = self.converter.token_list
+        self.token_list = token_list
+        task_cls = AVSRTask if self.task == "avsr" else ASRTask
+        self.model = task_cls.build_model(config, token_list)
+        self.is_maskctc = getattr(config, "model", "espnet") == "maskctc"
+
+        inf = dict(getattr(config, "inference_conf", {}) or {})
+        self.beam_config = BeamSearchConfig(
+            beam_size=int(inf.get("beam_size", 30)),
+            ctc_weight=float(inf.get("ctc_weight", 0.1)),
+            lm_weight=float(inf.get("lm_weight", 0.0)) if lm_config else 0.0,
+            penalty=float(inf.get("penalty", 0.0)),
+            maxlenratio=float(inf.get("maxlenratio", 0.0)),
+            minlenratio=float(inf.get("minlenratio", 0.0)),
+            nbest=int(inf.get("nbest", 1)),
+        )
+        self.maskctc_n_iterations = int(inf.get("maskctc_n_iterations", 10))
+        self.maskctc_threshold = float(inf.get("maskctc_threshold_probability", 0.999))
+
+        self.lm = None
+        self.lm_variables = None
+        if lm_config is not None:
+            lm_tokens = load_token_list(lm_config.token_list) if isinstance(
+                getattr(lm_config, "token_list", None), str
+            ) else token_list
+            self.lm = LMTask.build_model(lm_config, lm_tokens)
+            if lm_ckpt_path:
+                dummy = jnp.zeros((1, 4), jnp.int32)
+                lv = self.lm.init(jax.random.PRNGKey(0), dummy, jnp.array([4]))
+                self.lm_variables = load_model(lv, lm_ckpt_path)
+
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self.variables = None
+        self._ckpt_path = ckpt_path
+        self._decode_jit: Dict = {}
+
+    # -- parameter init is lazy: we need a representative batch for shapes
+    def ensure_params(self, batch: Dict) -> None:
+        if self.variables is not None:
+            return
+        args = self._model_args(batch)
+        text = jnp.asarray(batch["text"])
+        tlens = jnp.asarray(batch["text_lengths"])
+        init_rngs = {"params": self._rng, "mlm": self._rng}
+        self.variables = self.model.init(init_rngs, *args, text, tlens)
+        if self._ckpt_path:
+            self.variables = load_model(self.variables, self._ckpt_path)
+        if self.lm is not None and self.lm_variables is None:
+            dummy = jnp.zeros((1, 4), jnp.int32)
+            self.lm_variables = self.lm.init(self._rng, dummy, jnp.array([4]))
+
+    def _model_args(self, batch: Dict) -> Tuple:
+        if self.task == "avsr":
+            return (
+                jnp.asarray(batch["audio"]),
+                jnp.asarray(batch["audio_lengths"]),
+                jnp.asarray(batch["video"]),
+                jnp.asarray(batch["video_lengths"]),
+            )
+        return (jnp.asarray(batch["speech"]), jnp.asarray(batch["speech_lengths"]))
+
+    def _build_decode(self, shape_key):
+        model, lm, lm_vars = self.model, self.lm, self.lm_variables
+        cfg = self.beam_config
+        is_maskctc = self.is_maskctc
+        n_iter, thr = self.maskctc_n_iterations, self.maskctc_threshold
+
+        def decode(variables, *args):
+            enc_out, enc_lens, _ = model.apply(variables, *args, method="encode")
+            ctc_logp = model.apply(
+                variables, enc_out, method=lambda m, x: m.ctc.log_softmax(x)
+            )
+            if is_maskctc:
+                mem_mask = make_valid_mask(enc_lens, enc_out.shape[1])
+
+                def mlm_fn(ys, lens):
+                    return model.apply(
+                        variables, enc_out, mem_mask, ys, lens,
+                        method=lambda m, *a: m.decoder(*a),
+                    )
+
+                res = maskctc_decode(
+                    ctc_logp, enc_lens, mlm_fn, model.vocab_size,
+                    threshold=thr, num_iterations=n_iter,
+                )
+                return res.tokens, res.lengths, jnp.zeros(res.lengths.shape)
+            mem_mask = make_valid_mask(enc_lens, enc_out.shape[1])
+
+            def att_fn(ys, pos):
+                rep = ys.shape[0] // enc_out.shape[0]
+                mem = jnp.repeat(enc_out, rep, axis=0)
+                mm = jnp.repeat(mem_mask, rep, axis=0)
+                return model.apply(
+                    variables, mem, mm, ys, pos, method="decoder_score_step"
+                )
+
+            lm_fn = None
+            if lm is not None and cfg.lm_weight > 0:
+                def lm_fn(ys, pos):  # noqa: E306
+                    return lm.apply(lm_vars, ys, pos, method="score_step")
+
+            res = beam_search(
+                att_fn, ctc_logp, enc_lens, model.sos, model.eos, cfg, lm_score_fn=lm_fn
+            )
+            return res.tokens[:, 0], res.lengths[:, 0], res.scores[:, 0]
+
+        return jax.jit(decode)
+
+    def __call__(self, batch: Dict) -> List[Tuple[str, List[str], List[int]]]:
+        """Batch dict -> [(text, tokens, ids)] per utterance (1-best)."""
+        self.ensure_params(batch)
+        args = self._model_args(batch)
+        key = tuple(a.shape for a in args)
+        if key not in self._decode_jit:
+            self._decode_jit[key] = self._build_decode(key)
+        tokens, lengths, _ = self._decode_jit[key](self.variables, *args)
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        results = []
+        for i in range(tokens.shape[0]):
+            if self.is_maskctc:
+                ids = [int(t) for t in tokens[i, : lengths[i]]]
+            else:
+                ids = [int(t) for t in tokens[i, 1 : 1 + lengths[i]]]  # drop sos
+            toks = self.converter.ids2tokens(ids)
+            text = (
+                self.tokenizer.tokens2text(toks) if self.tokenizer else " ".join(toks)
+            )
+            results.append((text, toks, ids))
+        return results
+
+    def greedy(self, batch: Dict) -> List[str]:
+        """CTC greedy decoding fast path."""
+        self.ensure_params(batch)
+        args = self._model_args(batch)
+        ids, lens = jax.jit(
+            lambda v, *a: self.model.apply(v, *a, method="ctc_greedy")
+        )(self.variables, *args)
+        hyps = ctc_greedy_collapse(np.asarray(ids), np.asarray(lens))
+        out = []
+        for h in hyps:
+            toks = self.converter.ids2tokens(h)
+            out.append(
+                self.tokenizer.tokens2text(toks) if self.tokenizer else " ".join(toks)
+            )
+        return out

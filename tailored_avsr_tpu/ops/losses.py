@@ -44,6 +44,15 @@ def ctc_loss(
     per_seq = optax.ctc_loss(
         logits.astype(jnp.float32), logit_pad, safe_labels, label_pad, blank_id=blank_id
     )
+    # zero_infinity semantics (torch CTCLoss, ref src/ctc/ctc.py:40-43): an
+    # utterance whose label cannot be aligned (T < L + #adjacent-repeats)
+    # has infinite loss in exact CTC; optax instead returns a huge finite
+    # value via log_epsilon. Zero those out like the reference.
+    valid_lab = (jnp.arange(l)[None, :] < label_lengths[:, None]) & (labels >= 0)
+    prev = jnp.concatenate([jnp.full((b, 1), -1, labels.dtype), safe_labels[:, :-1]], axis=1)
+    repeats = jnp.sum(((safe_labels == prev) & valid_lab & (jnp.arange(l)[None, :] > 0)), axis=-1)
+    feasible = logit_lengths >= label_lengths + repeats
+    per_seq = jnp.where(feasible, per_seq, 0.0)
     return jnp.sum(per_seq) / b
 
 

@@ -1,0 +1,6 @@
+from tailored_avsr_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_jit,
+)

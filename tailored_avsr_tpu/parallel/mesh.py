@@ -1,0 +1,71 @@
+"""Device mesh construction and sharding rules (pjit data/model parallelism).
+
+The reference has NO distributed runtime (SURVEY.md §2.4/§5.8: a vestigial
+DataParallel hook, one pinned GPU). The TPU-native design replaces it with a
+``jax.sharding.Mesh``:
+
+- 1-D ('data',) mesh for parity-scale runs: batch sharded over data, params
+  replicated; XLA inserts the gradient all-reduce over ICI.
+- 2-D ('data', 'model') mesh kept open for tensor parallelism (the models are
+  43-104M params, so TP is optional headroom, not a requirement).
+
+Everything is expressed with NamedSharding constraints on jit boundaries —
+no explicit collectives; XLA chooses ICI-riding all-reduces.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place array leaves with the leading (batch) axis split over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (params/opt state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_jit(fn, mesh: Mesh, donate_argnums=()):
+    """jit a step so batch args arrive data-sharded and outputs replicate.
+
+    With sharded inputs, plain jit under the mesh context lets XLA propagate
+    shardings and insert the grad all-reduce; this helper just standardises
+    the pattern.
+    """
+
+    jfn = jax.jit(fn, donate_argnums=donate_argnums)
+
+    def wrapped(*args, **kwargs):
+        with mesh:
+            return jfn(*args, **kwargs)
+
+    return wrapped

@@ -1,0 +1,99 @@
+"""ASR/VSR task factory: config -> E2E model.
+
+Capability parity with ``ASRTask.build_model`` (/root/reference/src/tasks/
+asr.py:482-619): wiring order frontend -> specaug -> normalize -> preencoder ->
+encoder -> postencoder -> decoder -> ctc -> model. Component registries follow
+the reference's string choices (frontend 'default'/'conv3dresnet18', encoder
+'branchformer', decoder 'transformer'/'sim_t'/'mlm', model 'espnet'/'maskctc').
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from tailored_avsr_tpu.models.asr_model import ASRModel
+from tailored_avsr_tpu.models.branchformer import BranchformerEncoder
+from tailored_avsr_tpu.models.ctc import CTCHead
+from tailored_avsr_tpu.models.maskctc import MaskCTCModel
+from tailored_avsr_tpu.tasks.common import (
+    build_decoder,
+    build_frontend,
+    build_normalize,
+    build_specaug,
+    filter_conf,
+)
+
+
+class ASRTask:
+    @classmethod
+    def build_model(cls, config, token_list: List[str]):
+        vocab_size = len(token_list)
+        model_conf = dict(getattr(config, "model_conf", {}) or {})
+        model_name = getattr(config, "model", "espnet") or "espnet"
+
+        frontend = build_frontend(
+            getattr(config, "frontend", "default"),
+            getattr(config, "frontend_conf", {}),
+        )
+        specaug = build_specaug(
+            getattr(config, "specaug", None), getattr(config, "specaug_conf", {})
+        )
+        feature_size = frontend.output_size() if frontend is not None else 80
+        normalize = build_normalize(
+            getattr(config, "normalize", None),
+            getattr(config, "normalize_conf", {}),
+            feature_size,
+        )
+
+        encoder_name = getattr(config, "encoder", "branchformer")
+        encoder_conf = dict(getattr(config, "encoder_conf", {}) or {})
+        if encoder_name != "branchformer":
+            raise ValueError(
+                f"encoder '{encoder_name}' not implemented yet (branchformer only)"
+            )
+        interctc = bool(encoder_conf.get("interctc_use_conditioning", False))
+        encoder = BranchformerEncoder(
+            **filter_conf(
+                BranchformerEncoder,
+                encoder_conf,
+                vocab_size=vocab_size if interctc else None,
+            )
+        )
+        encoder_size = encoder.output_size
+
+        is_maskctc = model_name == "maskctc"
+        decoder_name = getattr(config, "decoder", "transformer") or "transformer"
+        decoder_conf = getattr(config, "decoder_conf", {})
+        ctc_weight = float(model_conf.get("ctc_weight", 0.5))
+        decoder = None
+        if ctc_weight < 1.0:
+            if is_maskctc and decoder_name == "transformer":
+                decoder_name = "mlm"
+            decoder = build_decoder(
+                decoder_name,
+                decoder_conf,
+                vocab_size + 1 if is_maskctc else vocab_size,
+                encoder_size,
+            )
+
+        ctc_conf = dict(getattr(config, "ctc_conf", {}) or {})
+        ctc = CTCHead(
+            vocab_size=vocab_size,
+            dropout_rate=float(ctc_conf.get("dropout_rate", 0.0)),
+        )
+
+        model_cls = {"espnet": ASRModel, "maskctc": MaskCTCModel}[model_name]
+        return model_cls(
+            vocab_size=vocab_size,
+            encoder=encoder,
+            ctc=ctc,
+            decoder=decoder,
+            frontend=frontend,
+            specaug=specaug,
+            normalize=normalize,
+            ctc_weight=ctc_weight,
+            interctc_weight=float(model_conf.get("interctc_weight", 0.0)),
+            ignore_id=int(model_conf.get("ignore_id", -1)),
+            lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
+            length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
+        )

@@ -1,0 +1,145 @@
+"""AVSR task factory: config -> dual-stream E2E model.
+
+Capability parity with ``AVSRTask.build_model`` (/root/reference/src/tasks/
+avsr.py:506-718): dual-stream registries (acoustic/visual frontends, embeds),
+unified encoder ('tailored'/'conventional'), 'adaptive' fusion, decoder, model
+('espnet'/'maskctc'); enforces embed pos-enc parity (ref :613-615) and wires
+fusion after the encoder (:636-641).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from tailored_avsr_tpu.models.avsr_model import AVSRModel
+from tailored_avsr_tpu.models.conventional import ConventionalEncoder
+from tailored_avsr_tpu.models.ctc import CTCHead
+from tailored_avsr_tpu.models.embedding import DefaultEmbeddingLayerForAVSR
+from tailored_avsr_tpu.models.fusion import AdaptiveAudioVisualFusion
+from tailored_avsr_tpu.models.maskctc import AVSRMaskCTCModel
+from tailored_avsr_tpu.models.tailored import TailoredEncoder
+from tailored_avsr_tpu.tasks.common import (
+    build_decoder,
+    build_frontend,
+    build_normalize,
+    build_specaug,
+    filter_conf,
+)
+
+
+class AVSRTask:
+    @classmethod
+    def build_model(cls, config, token_list: List[str]):
+        vocab_size = len(token_list)
+        model_conf = dict(getattr(config, "model_conf", {}) or {})
+        model_name = getattr(config, "model", "espnet") or "espnet"
+
+        acoustic_frontend = build_frontend(
+            getattr(config, "acoustic_frontend", "default"),
+            getattr(config, "acoustic_frontend_conf", {}),
+        )
+        visual_frontend = build_frontend(
+            getattr(config, "visual_frontend", "conv3dresnet18"),
+            getattr(config, "visual_frontend_conf", {}),
+        )
+        specaug = build_specaug(
+            getattr(config, "specaug", None), getattr(config, "specaug_conf", {})
+        )
+        feature_size = (
+            acoustic_frontend.output_size() if acoustic_frontend is not None else 80
+        )
+        normalize = build_normalize(
+            getattr(config, "normalize", None),
+            getattr(config, "normalize_conf", {}),
+            feature_size,
+        )
+
+        encoder_conf = dict(getattr(config, "encoder_conf", {}) or {})
+        output_size = int(encoder_conf.get("output_size", 256))
+
+        a_embed_conf = dict(getattr(config, "acoustic_embed_conf", {}) or {})
+        v_embed_conf = dict(getattr(config, "visual_embed_conf", {}) or {})
+        # pos-enc parity between the two streams (ref avsr.py:613-615)
+        a_pos = a_embed_conf.get("pos_enc_layer_type", "rel_pos")
+        v_pos = v_embed_conf.get("pos_enc_layer_type", "rel_pos")
+        assert a_pos == v_pos, (
+            f"acoustic and visual embeds must share pos_enc_layer_type "
+            f"({a_pos} != {v_pos})"
+        )
+        acoustic_embed = DefaultEmbeddingLayerForAVSR(
+            **filter_conf(
+                DefaultEmbeddingLayerForAVSR,
+                a_embed_conf,
+                output_size=output_size,
+                input_layer=a_embed_conf.get("input_layer", "conv2d"),
+            )
+        )
+        visual_embed = DefaultEmbeddingLayerForAVSR(
+            **filter_conf(
+                DefaultEmbeddingLayerForAVSR,
+                v_embed_conf,
+                output_size=output_size,
+                input_layer=v_embed_conf.get("input_layer", "linear"),
+            )
+        )
+
+        encoder_name = getattr(config, "encoder", "tailored")
+        if encoder_name == "tailored":
+            encoder = TailoredEncoder(**filter_conf(TailoredEncoder, encoder_conf))
+        elif encoder_name == "conventional":
+            encoder = ConventionalEncoder(
+                **filter_conf(ConventionalEncoder, encoder_conf)
+            )
+        else:
+            raise ValueError(f"unknown AVSR encoder: {encoder_name}")
+
+        fusion_name = getattr(config, "audiovisual_fusion", "adaptive")
+        if fusion_name != "adaptive":
+            raise ValueError(f"unknown audiovisual_fusion: {fusion_name}")
+        fusion = AdaptiveAudioVisualFusion(
+            **filter_conf(
+                AdaptiveAudioVisualFusion,
+                getattr(config, "audiovisual_fusion_conf", {}),
+                output_size=output_size,
+            )
+        )
+
+        is_maskctc = model_name == "maskctc"
+        ctc_weight = float(model_conf.get("ctc_weight", 0.5))
+        decoder = None
+        if ctc_weight < 1.0:
+            decoder_name = getattr(config, "decoder", "transformer") or "transformer"
+            if is_maskctc and decoder_name == "transformer":
+                decoder_name = "mlm"
+            decoder = build_decoder(
+                decoder_name,
+                getattr(config, "decoder_conf", {}),
+                vocab_size + 1 if is_maskctc else vocab_size,
+                output_size,
+            )
+
+        ctc_conf = dict(getattr(config, "ctc_conf", {}) or {})
+        ctc = CTCHead(
+            vocab_size=vocab_size,
+            dropout_rate=float(ctc_conf.get("dropout_rate", 0.0)),
+        )
+
+        model_cls = {"espnet": AVSRModel, "maskctc": AVSRMaskCTCModel}[model_name]
+        return model_cls(
+            vocab_size=vocab_size,
+            encoder=encoder,
+            audiovisual_fusion=fusion,
+            ctc=ctc,
+            acoustic_embed=acoustic_embed,
+            visual_embed=visual_embed,
+            decoder=decoder,
+            acoustic_frontend=acoustic_frontend,
+            visual_frontend=visual_frontend,
+            specaug=specaug,
+            normalize=normalize,
+            ctc_weight=ctc_weight,
+            interctc_weight=float(model_conf.get("interctc_weight", 0.0)),
+            ignore_id=int(model_conf.get("ignore_id", -1)),
+            lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
+            length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
+        )

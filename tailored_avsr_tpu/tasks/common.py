@@ -1,0 +1,91 @@
+"""Shared helpers for the config->model task factories (registry layer).
+
+Equivalent role to espnet's ``ClassChoices`` registries used by the reference
+(/root/reference/src/tasks/asr.py:81-218, avsr.py:81-218): string keys select
+component classes, ``*_conf`` dicts feed their constructors. Unknown conf keys
+are dropped with a warning (the reference's espnet classes simply accept and
+ignore extras via their own signatures).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, Optional, Type
+
+from tailored_avsr_tpu.ops.frontend_audio import LogMelFrontend
+from tailored_avsr_tpu.ops.normalize import GlobalMVN, UtteranceMVN
+from tailored_avsr_tpu.ops.specaug import SpecAug
+
+logger = logging.getLogger(__name__)
+
+
+def filter_conf(cls: Type, conf: Optional[Dict[str, Any]], **extra) -> Dict[str, Any]:
+    """Keep only constructor fields of a flax dataclass module; warn on drops."""
+    conf = dict(conf or {})
+    conf.update(extra)
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kept = {}
+    for k, v in conf.items():
+        if k in fields:
+            if isinstance(v, list):
+                v = tuple(v)
+            kept[k] = v
+        else:
+            logger.debug("dropping %s config key %r", cls.__name__, k)
+    return kept
+
+
+def build_frontend(name: Optional[str], conf: Optional[Dict]):
+    from tailored_avsr_tpu.models.frontends import Conv3dResNet18
+
+    if name in (None, "none"):
+        return None
+    if name == "default":
+        return LogMelFrontend(**filter_conf(LogMelFrontend, conf))
+    if name == "conv3dresnet18":
+        return Conv3dResNet18(**filter_conf(Conv3dResNet18, conf))
+    raise ValueError(f"unknown frontend: {name}")
+
+
+def build_specaug(name: Optional[str], conf: Optional[Dict]):
+    if name in (None, "none"):
+        return None
+    if name == "specaug":
+        return SpecAug(**filter_conf(SpecAug, conf))
+    raise ValueError(f"unknown specaug: {name}")
+
+
+def build_normalize(name: Optional[str], conf: Optional[Dict], feature_size: int = 80):
+    if name in (None, "none"):
+        return None
+    if name == "utterance_mvn":
+        return UtteranceMVN(**filter_conf(UtteranceMVN, conf))
+    if name == "global_mvn":
+        return GlobalMVN(**filter_conf(GlobalMVN, conf, feature_size=feature_size))
+    raise ValueError(f"unknown normalize: {name}")
+
+
+def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size: int):
+    from tailored_avsr_tpu.models.decoder import (
+        MLMDecoder,
+        SimTDecoder,
+        SimTMLMDecoder,
+        TransformerDecoder,
+    )
+
+    table = {
+        "transformer": TransformerDecoder,
+        "sim_t": SimTDecoder,
+        "simt": SimTDecoder,
+        "mlm": MLMDecoder,
+        "sim_t_mlm": SimTMLMDecoder,
+    }
+    if name not in table:
+        raise ValueError(f"unknown decoder: {name}")
+    cls = table[name]
+    return cls(
+        **filter_conf(
+            cls, conf, vocab_size=vocab_size, encoder_output_size=encoder_size
+        )
+    )

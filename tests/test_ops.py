@@ -227,6 +227,25 @@ def test_ctc_loss_matches_torch():
     assert abs(got - float(ref)) < 1e-3
 
 
+def test_ctc_loss_zero_infinity():
+    """Infeasible alignments (label longer than frames) contribute 0 loss,
+    matching torch CTCLoss zero_infinity (ref src/ctc/ctc.py:40-43)."""
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(2, 4, 6).astype(np.float32))
+    labels = jnp.array([[1, 2, 3, 4, 5], [1, 2, -1, -1, -1]])
+    llens = jnp.array([4, 4])
+    tlens = jnp.array([5, 2])  # first: 5 labels > 4 frames -> infeasible
+    loss_both = float(ctc_loss(logits, llens, labels, tlens))
+    loss_only2 = float(
+        ctc_loss(logits[1:], llens[1:], labels[1:], tlens[1:])
+    )
+    np.testing.assert_allclose(loss_both, loss_only2 / 2, rtol=1e-5)
+    # repeats also consume frames: [1,1,2,2] needs >= 6 frames
+    labels_r = jnp.array([[1, 1, 2, 2, -1]])
+    loss_r = float(ctc_loss(logits[:1], jnp.array([4]), labels_r, jnp.array([4])))
+    assert loss_r == 0.0
+
+
 def test_token_accuracy():
     logits = jnp.asarray(np.eye(4)[[1, 2, 3]][None])  # predicts 1,2,3
     targets = jnp.array([[1, 2, -1]])
