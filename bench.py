@@ -1,19 +1,18 @@
 #!/usr/bin/env python
 """Benchmark: batched AVSR inference real-time factor on the flagship tailored
 model (256-d, 12-block tailored audio-visual Branchformer, the reference's
-headline config), measured on whatever accelerator JAX sees (TPU chip under
-the driver; CPU locally).
+headline config) on whatever accelerator JAX sees (TPU chip under the driver).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: real-time factor of full AVSR inference (audio+video frontends,
-tailored encoder, fusion, greedy CTC) = audio-seconds transcribed per wall
-second per chip. The reference repo publishes no RTF numbers
-(BASELINE.md); the north-star is >=5x an A100 PyTorch baseline. A100
-PyTorch inference of comparable AVSR stacks runs around ~30x real time at
-batch 1 (espnet-class models); vs_baseline reports value / (5 * 30) — i.e.
-progress toward the 5x-A100 target under that stand-in until a measured
-A100 number exists.
+tailored encoder with the Pallas fused-attention kernel, adaptive fusion,
+greedy CTC) in bfloat16 at batch 8 = audio-seconds transcribed per wall
+second per chip. The reference repo publishes no RTF numbers (BASELINE.md);
+the north-star is >=5x an A100 PyTorch baseline. A100 PyTorch inference of
+comparable espnet-class AVSR stacks runs around ~30x real time at batch 1;
+vs_baseline reports value / (5 * 30) — progress toward the 5x-A100 target
+under that stand-in until a measured A100 number exists.
 """
 
 from __future__ import annotations
@@ -30,7 +29,8 @@ def main():
 
     from __graft_entry__ import _build_flagship
 
-    model = _build_flagship()
+    on_tpu = jax.devices()[0].platform != "cpu"
+    model = _build_flagship(use_flash=on_tpu)
 
     batch, frames = 8, 100  # 4-second utterances at 25 fps
     rng = np.random.RandomState(0)
@@ -45,16 +45,23 @@ def main():
         audio, alens, video, vlens,
         jnp.ones((batch, 8), jnp.int32), jnp.full((batch,), 8, np.int32),
     )
+    if on_tpu:  # bf16 weights/activations: free TPU win (SURVEY.md §2.4)
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            variables,
+        )
+        audio = audio.astype(jnp.bfloat16)
+        video = video.astype(jnp.bfloat16)
 
     @jax.jit
     def infer(audio, alens, video, vlens):
-        ids, lens = model.apply(
+        return model.apply(
             variables, audio, alens, video, vlens, method="ctc_greedy"
         )
-        return ids, lens
 
-    # warmup/compile
-    ids, lens = infer(audio, alens, video, vlens)
+    ids, lens = infer(audio, alens, video, vlens)  # warmup/compile
     ids.block_until_ready()
 
     iters = 10
@@ -69,7 +76,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "avsr_inference_rtf_greedy_batch8",
+                "metric": "avsr_inference_rtf_greedy_batch8_bf16",
                 "value": round(rtf, 2),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtf / 150.0, 3),

@@ -99,6 +99,7 @@ class BranchformerEncoderLayer(nn.Module):
     attn_branch_drop_rate: float = 0.0
     stochastic_depth_rate: float = 0.0
     zero_triu: bool = False
+    use_flash: bool = False
 
     def setup(self):
         use_attn, use_cgmlp = self.use_attn, self.use_cgmlp
@@ -132,6 +133,7 @@ class BranchformerEncoderLayer(nn.Module):
                     self.attention_heads,
                     self.attention_dropout_rate,
                     self.zero_triu,
+                    self.use_flash,
                     name="attn",
                 )
             elif self.attention_layer_type == "fast_selfattn":
@@ -285,6 +287,7 @@ class BranchformerEncoder(nn.Module):
     interctc_layer_idx: Sequence[int] = ()
     interctc_use_conditioning: bool = False
     vocab_size: Optional[int] = None  # needed when interctc_use_conditioning
+    use_flash: bool = False  # Pallas fused attention on the TPU path
 
     def _per_layer(self, v):
         if isinstance(v, (int, float)):
@@ -356,6 +359,7 @@ class BranchformerEncoder(nn.Module):
                 attn_branch_drop_rate=abd[i],
                 stochastic_depth_rate=sdr[i],
                 zero_triu=self.zero_triu,
+                use_flash=self.use_flash,
                 name=f"layer_{i}",
             )
             for i in range(self.num_blocks)

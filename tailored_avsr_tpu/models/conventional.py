@@ -42,6 +42,7 @@ class ConventionalEncoder(nn.Module):
     interctc_layer_idx: Sequence[int] = ()
     interctc_use_conditioning: bool = False
     audiovisual_interctc_conditioning: bool = False
+    use_flash: bool = False
 
     def _per_layer(self, v):
         if isinstance(v, (int, float)):
@@ -78,6 +79,7 @@ class ConventionalEncoder(nn.Module):
                     cgmlp_weight=cgw[i],
                     attn_branch_drop_rate=abd[i],
                     stochastic_depth_rate=sdr[i],
+                    use_flash=self.use_flash,
                     name=f"{prefix}_layer_{i}",
                 )
                 for i in range(self.num_blocks)

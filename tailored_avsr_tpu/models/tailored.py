@@ -60,6 +60,7 @@ class TailoredEncoderLayer(nn.Module):
     # acoustic drop that IS active lives in the fusion module.
     stochastic_depth_rate: float = 0.0
     zero_triu: bool = False
+    use_flash: bool = False
 
     def _make_branch(self, use_attn: bool, prefix: str):
         if use_attn:
@@ -68,6 +69,7 @@ class TailoredEncoderLayer(nn.Module):
                     self.attention_heads,
                     self.attention_dropout_rate,
                     self.zero_triu,
+                    self.use_flash,
                     name=f"{prefix}_attn",
                 )
             if self.attention_layer_type == "selfattn":
@@ -191,6 +193,7 @@ class TailoredEncoder(nn.Module):
     audiovisual_interctc_conditioning: bool = False
     interctc_layer_idx: Sequence[int] = ()
     stochastic_depth_rate: Union[float, Sequence[float]] = 0.0
+    use_flash: bool = False
 
     def _per_layer(self, v):
         if isinstance(v, (int, float)):
@@ -226,6 +229,7 @@ class TailoredEncoder(nn.Module):
                 acoustic_branch_drop_rate=abd[i],
                 stochastic_depth_rate=sdr[i],
                 zero_triu=self.zero_triu,
+                use_flash=self.use_flash,
                 name=f"layer_{i}",
             )
             for i in range(self.num_blocks)

@@ -138,6 +138,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
     num_heads: int
     dropout_rate: float = 0.0
     zero_triu: bool = False
+    use_flash: bool = False  # Pallas fused kernel (inference / no-dropout path)
 
     @nn.compact
     def __call__(
@@ -171,8 +172,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_u = q + pos_bias_u[None, :, None, :].astype(q.dtype)
         q_v = q + pos_bias_v[None, :, None, :].astype(q.dtype)
 
-        # content-content + content-position terms
-        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+        # content-position Toeplitz term (skinny matmul + reshape shift)
         matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p)  # (B,H,T,2T-1)
         matrix_bd = rel_shift(matrix_bd)
         if self.zero_triu:
@@ -180,10 +180,23 @@ class RelPositionMultiHeadedAttention(nn.Module):
             ones = jnp.tril(jnp.ones((t, t), dtype=matrix_bd.dtype))
             matrix_bd = matrix_bd * ones[None, None]
 
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(dk, jnp.float32)).astype(q.dtype)
-        attn = _masked_softmax(scores, mask).astype(v.dtype)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        flash_ok = (
+            self.use_flash
+            and (deterministic or self.dropout_rate == 0.0)
+            and (mask is None or mask.ndim == 2)
+        )
+        if flash_ok:
+            from tailored_avsr_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(q_u, k, v, bias=matrix_bd, mask=mask)
+        else:
+            matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+            scores = (matrix_ac + matrix_bd) / jnp.sqrt(
+                jnp.asarray(dk, jnp.float32)
+            ).astype(q.dtype)
+            attn = _masked_softmax(scores, mask).astype(v.dtype)
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[:-1] + (d,))
         return nn.Dense(d, name="linear_out")(out)
 

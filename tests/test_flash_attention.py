@@ -1,0 +1,75 @@
+"""Pallas fused attention: parity with the XLA reference implementation
+(interpret mode on CPU; the real kernel runs in bench on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tailored_avsr_tpu.ops.flash_attention import flash_attention
+from tailored_avsr_tpu.ops.attention import _masked_softmax
+
+
+def reference_attention(q, k, v, bias, mask):
+    dk = q.shape[-1]
+    scores = (jnp.einsum("bhqd,bhkd->bhqk", q, k) + bias) / dk ** 0.5
+    attn = _masked_softmax(scores, mask)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+
+
+def test_flash_matches_reference():
+    key = jax.random.PRNGKey(0)
+    b, h, t, dk = 2, 4, 50, 32
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, h, t, dk))
+    k = jax.random.normal(ks[1], (b, h, t, dk))
+    v = jax.random.normal(ks[2], (b, h, t, dk))
+    bias = jax.random.normal(ks[3], (b, h, t, t))
+    mask = jnp.arange(t)[None, :] < jnp.array([t, 30])[:, None]
+    want = reference_attention(q, k, v, bias, mask)
+    got = flash_attention(q, k, v, bias, mask, block_q=16, block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_no_bias_no_mask():
+    key = jax.random.PRNGKey(1)
+    b, h, t, dk = 1, 2, 33, 16  # odd T exercises padding
+    q = jax.random.normal(key, (b, h, t, dk))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dk))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dk))
+    want = reference_attention(q, k, v, jnp.zeros((b, h, t, t)), None)
+    got = flash_attention(q, k, v, None, None, block_q=16, block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_fully_masked_row_zero():
+    key = jax.random.PRNGKey(2)
+    b, h, t, dk = 1, 1, 8, 8
+    q = jax.random.normal(key, (b, h, t, dk))
+    mask = jnp.zeros((b, t), bool)  # everything masked
+    got = flash_attention(q, q, q, None, mask, block_q=8, block_k=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+
+def test_relpos_attention_flash_flag_matches_xla():
+    """RelPositionMultiHeadedAttention(use_flash=True) == use_flash=False."""
+    from tailored_avsr_tpu.ops.attention import RelPositionMultiHeadedAttention
+    from tailored_avsr_tpu.ops.posenc import RelPositionalEncoding
+    from jax.experimental.pallas import tpu as pltpu
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 20, 32))
+    pos = RelPositionalEncoding(0.0)
+    xs, pemb = pos.apply(pos.init(key, x), x)
+    mask = jnp.arange(20)[None, :] < jnp.array([20, 13])[:, None]
+    m0 = RelPositionMultiHeadedAttention(num_heads=4, use_flash=False)
+    params = m0.init(key, xs, xs, xs, pemb, mask)
+    want = m0.apply(params, xs, xs, xs, pemb, mask)
+    m1 = RelPositionMultiHeadedAttention(num_heads=4, use_flash=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = m1.apply(params, xs, xs, xs, pemb, mask)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1, :13]), np.asarray(want[1, :13]), atol=3e-5
+    )
