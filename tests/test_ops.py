@@ -61,7 +61,7 @@ def test_attention_masked_positions_ignored():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (2, 6, 16))
     mask = make_valid_mask(jnp.array([4, 6]), 6)
-    mha = MultiHeadedAttention(num_heads=4)
+    mha = MultiHeadedAttention(num_heads=4, model_dim=16)
     params = mha.init(key, x, x, x, mask)
     out1 = mha.apply(params, x, x, x, mask)
     # perturb padded frames: valid outputs must not change
