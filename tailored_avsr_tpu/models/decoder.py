@@ -152,7 +152,7 @@ class _DecoderBase(nn.Module):
 
     def setup(self):
         d = self.encoder_output_size
-        self.embed_tok = nn.Embed(self.vocab_size, d, name="embed")
+        self.embed_tok = nn.Embed(self.vocab_size, d, name="embed_tok")
         self.pos_enc = AbsolutePositionalEncoding(self.positional_dropout_rate)
         if self.layer_variant == "sim_t":
             self.layers = [

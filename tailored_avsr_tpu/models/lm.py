@@ -59,7 +59,7 @@ class TransformerLM(nn.Module):
     positional_dropout_rate: float = 0.1
 
     def setup(self):
-        self.embed_tok = nn.Embed(self.vocab_size, self.att_unit, name="embed")
+        self.embed_tok = nn.Embed(self.vocab_size, self.att_unit, name="embed_tok")
         self.pos_enc = AbsolutePositionalEncoding(self.positional_dropout_rate)
         self.layers = [
             TransformerLMLayer(

@@ -35,6 +35,21 @@ def save_model(variables: Dict[str, Any], path: str) -> None:
 
 
 def load_model(template: Dict[str, Any], path: str) -> Dict[str, Any]:
+    if path.endswith((".pth", ".pt")):  # reference PyTorch checkpoints
+        from tailored_avsr_tpu.utils.torch_compat import (
+            load_pth,
+            load_torch_state_dict,
+        )
+
+        loaded, report = load_torch_state_dict(template, load_pth(path))
+        if report["missing"] or report["unused"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "torch checkpoint translation: %d missing, %d unused keys",
+                len(report["missing"]), len(report["unused"]),
+            )
+        return loaded
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
 

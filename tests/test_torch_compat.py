@@ -1,0 +1,143 @@
+"""Checkpoint translation tests: flax <-> torch-style state_dict round trips
+and spot checks of the espnet key grammar."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tailored_avsr_tpu.utils.torch_compat import (
+    export_torch_state_dict,
+    load_torch_state_dict,
+    torch_key_for,
+)
+
+from tests.test_models import build_asr_model, build_avsr_model, avsr_batch
+
+
+def test_key_grammar_spot_checks():
+    """Generated keys must match the reference/espnet state_dict grammar."""
+    key = jax.random.PRNGKey(0)
+    model = build_avsr_model("tailored")
+    batch = avsr_batch(key)
+    variables = model.init(key, *batch)
+    sd = export_torch_state_dict(variables)
+    expected = [
+        # tailored encoder layer 0: acoustic attn + shared macaron ffn
+        "encoder.encoders.0.acoustic_attn.linear_q.weight",
+        "encoder.encoders.0.acoustic_attn.pos_bias_u",
+        "encoder.encoders.0.acoustic_norm_mha.weight",
+        "encoder.encoders.0.feed_forward_macaron.w_1.weight",
+        "encoder.encoders.1.visual_attn.linear_pos.weight",
+        "encoder.encoders.0.visual_cgmlp.channel_proj1.0.weight",
+        "encoder.encoders.0.visual_cgmlp.csgu.conv.weight",
+        "encoder.encoders.0.visual_norm_cgmlp.weight",
+        "encoder.modality_encoding.weight",
+        "encoder.after_norm.weight",
+        # AVSR embeds: audio Conv2dSubsamplingWOPosEnc, video Linear+LN
+        "acoustic_embed.embed.conv.0.weight",
+        "acoustic_embed.embed.conv.2.weight",
+        "acoustic_embed.embed.out.weight",
+        "visual_embed.embed.0.weight",
+        "visual_embed.embed.1.weight",
+        # fusion
+        "audiovisual_fusion.acoustic_pooling_proj.weight",
+        "audiovisual_fusion.audiovisual_layer.w_1.weight",
+        "audiovisual_fusion.norm_final.weight",
+        # decoder
+        "decoder.embed.0.weight",
+        "decoder.decoders.0.self_attn.linear_q.weight",
+        "decoder.decoders.0.src_attn.linear_out.weight",
+        "decoder.decoders.0.norm1.weight",
+        "decoder.after_norm.weight",
+        "decoder.output_layer.weight",
+        # ctc
+        "ctc.ctc_lo.weight",
+    ]
+    for k in expected:
+        assert k in sd, f"missing expected torch key: {k}\nhave e.g. {sorted(sd)[:10]}"
+
+
+def test_visual_frontend_key_grammar():
+    from tailored_avsr_tpu.models.frontends import Conv3dResNet18
+
+    key = jax.random.PRNGKey(1)
+    fe = Conv3dResNet18()
+    video = jax.random.normal(key, (1, 2, 32, 32))
+    variables = fe.init(key, video, jnp.array([2]))
+    # wrap under the VSR model field name used by the reference ('frontend')
+    wrapped = {
+        "params": {"frontend": variables["params"]},
+        "batch_stats": {"frontend": variables["batch_stats"]},
+    }
+    sd = export_torch_state_dict(wrapped)
+    for k in [
+        "frontend.frontend3D.0.weight",
+        "frontend.frontend3D.1.weight",
+        "frontend.frontend3D.1.running_mean",
+        "frontend.trunk.layer1.0.conv1.weight",
+        "frontend.trunk.layer2.0.downsample.0.weight",
+        "frontend.trunk.layer2.0.downsample.1.running_var",
+        "frontend.trunk.layer4.1.bn2.bias",
+    ]:
+        assert k in sd, f"missing {k}; have {sorted(sd)[:15]}"
+    # conv3d layout round trip: torch (out,in,kd,kh,kw)
+    assert sd["frontend.frontend3D.0.weight"].shape == (64, 1, 5, 7, 7)
+
+
+def test_round_trip_identity_avsr():
+    key = jax.random.PRNGKey(2)
+    model = build_avsr_model("tailored")
+    batch = avsr_batch(key)
+    variables = model.init(key, *batch)
+    sd = export_torch_state_dict(variables)
+    perturbed = {k: v + 1.0 for k, v in sd.items()}
+    loaded, report = load_torch_state_dict(variables, perturbed, strict=True)
+    assert not report["missing"] and not report["unused"]
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables["params"]),
+        jax.tree_util.tree_leaves_with_path(loaded["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a) + 1.0, rtol=1e-6)
+
+
+def test_round_trip_identity_asr_branchformer():
+    key = jax.random.PRNGKey(3)
+    model = build_asr_model(ctc_weight=0.3)
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    variables = model.init(key, feats, flens, text, tlens)
+    sd = export_torch_state_dict(variables)
+    # branchformer with-pos-enc embed: out is a Sequential -> out.0
+    assert "encoder.embed.conv.0.weight" in sd
+    assert "encoder.embed.out.0.weight" in sd
+    assert "encoder.encoders.0.attn.linear_q.weight" in sd
+    assert "encoder.encoders.0.cgmlp.csgu.norm.weight" in sd
+    assert "encoder.encoders.0.merge_proj.weight" in sd
+    loaded, report = load_torch_state_dict(variables, sd, strict=True)
+    assert not report["missing"] and not report["unused"]
+
+
+def test_linear_layout_semantics():
+    """A torch Linear applied via translated flax kernel gives the same output."""
+    torch = pytest.importorskip("torch")
+    lin = torch.nn.Linear(6, 4)
+    x = np.random.RandomState(0).randn(3, 6).astype(np.float32)
+    want = lin(torch.from_numpy(x)).detach().numpy()
+    import flax.linen as nn
+
+    dense = nn.Dense(4)
+    variables = dense.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {"weight": lin.weight.detach().numpy(), "bias": lin.bias.detach().numpy()}
+    from tailored_avsr_tpu.utils.torch_compat import _to_flax
+
+    params = {
+        "params": {
+            "kernel": _to_flax(sd["weight"], variables["params"]["kernel"].shape, "kernel"),
+            "bias": sd["bias"],
+        }
+    }
+    got = np.asarray(dense.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
