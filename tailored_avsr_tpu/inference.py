@@ -113,6 +113,29 @@ class Speech2Text:
 
         def decode(variables, *args):
             enc_out, enc_lens, _ = model.apply(variables, *args, method="encode")
+            if model.joint_network is not None:
+                from tailored_avsr_tpu.ops.rnnt import transducer_greedy_decode
+
+                def pred_apply(state, label):
+                    return model.apply(
+                        variables, state, label,
+                        method=lambda m, *a: m.prediction_network.step(*a),
+                    )
+
+                def joint_apply(enc_t, g):
+                    return model.apply(
+                        variables, enc_t[:, None, None], g[:, None, None],
+                        method=lambda m, *a: m.joint_network(*a),
+                    ).reshape(enc_t.shape[0], -1)
+
+                init_state = model.apply(
+                    variables, enc_out.shape[0],
+                    method=lambda m, b: m.prediction_network.initial_state(b),
+                )
+                toks, count = transducer_greedy_decode(
+                    enc_out, enc_lens, pred_apply, joint_apply, init_state
+                )
+                return toks, count, jnp.zeros(count.shape)
             ctc_logp = model.apply(
                 variables, enc_out, method=lambda m, x: m.ctc.log_softmax(x)
             )
@@ -163,8 +186,9 @@ class Speech2Text:
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)
         results = []
+        no_sos = self.is_maskctc or self.model.joint_network is not None
         for i in range(tokens.shape[0]):
-            if self.is_maskctc:
+            if no_sos:
                 ids = [int(t) for t in tokens[i, : lengths[i]]]
             else:
                 ids = [int(t) for t in tokens[i, 1 : 1 + lengths[i]]]  # drop sos

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tailored_avsr_tpu.models.ctc import CTCHead
+from tailored_avsr_tpu.ops.rnnt import rnnt_loss
 from tailored_avsr_tpu.ops.losses import (
     add_sos_eos,
     ctc_loss as ctc_loss_fn,
@@ -42,6 +43,8 @@ class ASRModel(nn.Module):
     normalize: Optional[nn.Module] = None
     preencoder: Optional[nn.Module] = None
     postencoder: Optional[nn.Module] = None
+    joint_network: Optional[nn.Module] = None  # transducer branch (optional
+    prediction_network: Optional[nn.Module] = None  # path, ref :306-328)
     ctc_weight: float = 0.5
     interctc_weight: float = 0.0
     ignore_id: int = -1
@@ -137,7 +140,18 @@ class ASRModel(nn.Module):
                 1 - self.interctc_weight
             ) * loss_ctc + self.interctc_weight * loss_interctc
 
-        if self.ctc_weight == 1.0 or self.decoder is None:
+        if self.joint_network is not None:
+            # transducer branch: loss = rnnt + ctc_weight * ctc (ref :330-335)
+            loss_transducer = self._calc_transducer_loss(
+                enc_out, enc_lens, text, text_lengths, deterministic
+            )
+            stats["loss_transducer"] = loss_transducer
+            loss = (
+                loss_transducer + self.ctc_weight * loss_ctc
+                if loss_ctc is not None
+                else loss_transducer
+            )
+        elif self.ctc_weight == 1.0 or self.decoder is None:
             loss = loss_ctc
         else:
             loss_att, acc = self._calc_att_loss(
@@ -156,6 +170,11 @@ class ASRModel(nn.Module):
         if enc_aux and enc_aux.get("branch_weights"):
             stats["branch_weights"] = enc_aux["branch_weights"]
         return loss, stats
+
+    def _calc_transducer_loss(self, enc_out, enc_lens, text, text_lengths, deterministic):
+        g = self.prediction_network(text, deterministic=deterministic)
+        logits = self.joint_network(enc_out[:, :, None, :], g[:, None, :, :])
+        return rnnt_loss(logits, enc_lens, text, text_lengths)
 
     # ---- inference helpers (used by decode/) -------------------------------
 

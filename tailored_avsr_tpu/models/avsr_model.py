@@ -36,6 +36,8 @@ class AVSRModel(nn.Module):
     acoustic_preencoder: Optional[nn.Module] = None
     visual_preencoder: Optional[nn.Module] = None
     postencoder: Optional[nn.Module] = None
+    joint_network: Optional[nn.Module] = None
+    prediction_network: Optional[nn.Module] = None
     ctc_weight: float = 0.5
     interctc_weight: float = 0.0
     ignore_id: int = -1
@@ -138,6 +140,7 @@ class AVSRModel(nn.Module):
 
     # reuse the loss structure of ASRModel via composition
     _calc_att_loss = ASRModel._calc_att_loss
+    _calc_transducer_loss = ASRModel._calc_transducer_loss
     nll = ASRModel.nll
 
     def __call__(
@@ -176,7 +179,17 @@ class AVSRModel(nn.Module):
                 1 - self.interctc_weight
             ) * loss_ctc + self.interctc_weight * loss_interctc
 
-        if self.ctc_weight == 1.0 or self.decoder is None:
+        if self.joint_network is not None:
+            loss_transducer = self._calc_transducer_loss(
+                enc_out, enc_lens, text, text_lengths, deterministic
+            )
+            stats["loss_transducer"] = loss_transducer
+            loss = (
+                loss_transducer + self.ctc_weight * loss_ctc
+                if loss_ctc is not None
+                else loss_transducer
+            )
+        elif self.ctc_weight == 1.0 or self.decoder is None:
             loss = loss_ctc
         else:
             loss_att, acc = self._calc_att_loss(

@@ -1,0 +1,215 @@
+"""RNN-Transducer: native JAX loss + joint/prediction networks + greedy decode.
+
+Capability parity with the reference's optional transducer branch
+(/root/reference/src/models/avsr_espnet_model.py:135-153, 306-328: warprnnt
+``RNNTLoss``, espnet ``JointNetwork``, RNN decoder, transducer beam search/
+error calculator registered at src/tasks/avsr.py:64).
+
+TPU-native loss: the forward DP
+    alpha[t, u] = logaddexp(alpha[t-1, u] + blank[t-1, u],
+                            alpha[t, u-1] + emit[t, u-1])
+is rewritten so each time step is one associative ``logcumsumexp`` over the
+label axis (alpha[t, u] = cum_e[u-1] + LCE_k(alpha[t-1, k] + blank[t-1, k]
+- cum_e[k-1])) — a ``lax.scan`` over T of ``lax.associative_scan`` over U,
+instead of a T*U sequential loop. Static shapes; per-sequence lengths ride in
+masks; validated against exhaustive path enumeration in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e30
+
+
+def _logcumsumexp(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return jax.lax.associative_scan(jnp.logaddexp, x, axis=axis)
+
+
+def rnnt_loss(
+    logits: jnp.ndarray,  # (B, T, U+1, V) joint-network outputs
+    logit_lengths: jnp.ndarray,  # (B,) valid encoder frames
+    labels: jnp.ndarray,  # (B, U) label ids (>=0 where valid)
+    label_lengths: jnp.ndarray,  # (B,)
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """Batch-mean RNNT negative log-likelihood."""
+    b, t, u1, v = logits.shape
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    blank = logp[..., blank_id]  # (B, T, U+1)
+    safe_labels = jnp.where(labels >= 0, labels, 0)
+    emit = jnp.take_along_axis(
+        logp[:, :, :-1, :], safe_labels[:, None, :, None], axis=-1
+    ).squeeze(-1)  # (B, T, U): emit label u at (t, u)
+    # positions beyond label length cannot emit
+    u_valid = jnp.arange(u1 - 1)[None, :] < label_lengths[:, None]  # (B, U)
+    emit = jnp.where(u_valid[:, None, :], emit, NEG_INF)
+
+    def step(alpha_prev, inputs):
+        # alpha_prev: (B, U+1) = alpha[t-1, :]; inputs: blank[t-1], emit[t]
+        blank_tm1, emit_t = inputs
+        a = alpha_prev + blank_tm1  # (B, U+1)
+        cum_e = jnp.cumsum(emit_t, axis=-1)  # (B, U) sum of emits up to u-1
+        cum_e_pad = jnp.concatenate(
+            [jnp.zeros((b, 1), cum_e.dtype), cum_e], axis=-1
+        )  # (B, U+1): cum_e_pad[u] = sum emit[0..u-1]
+        alpha_t = cum_e_pad + _logcumsumexp(a - cum_e_pad, axis=-1)
+        return alpha_t, alpha_t
+
+    # alpha[0, u] = sum_{j<u} emit[0, j]
+    cum_e0 = jnp.cumsum(emit[:, 0, :], axis=-1)
+    alpha0 = jnp.concatenate([jnp.zeros((b, 1)), cum_e0], axis=-1)
+    xs = (blank.transpose(1, 0, 2)[:-1], emit.transpose(1, 0, 2)[1:])
+    _, alphas = jax.lax.scan(step, alpha0, xs)  # (T-1, B, U+1)
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # (T, B, U+1)
+
+    t_idx = jnp.clip(logit_lengths - 1, 0, t - 1)  # (B,)
+    alpha_final = alphas[t_idx, jnp.arange(b), label_lengths]  # (B,)
+    blank_final = blank[jnp.arange(b), t_idx, label_lengths]
+    nll = -(alpha_final + blank_final)
+    return jnp.sum(nll) / b
+
+
+class JointNetwork(nn.Module):
+    """joint(h_enc, h_pred) = Dense_out(tanh(Dense(h_enc) + Dense(h_pred)))."""
+
+    vocab_size: int
+    joint_dim: int = 320
+    activation: str = "tanh"
+
+    @nn.compact
+    def __call__(self, enc: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+        """enc (..., T, 1, D) x pred (..., 1, U+1, D') broadcast -> (..., T, U+1, V)."""
+        h = nn.Dense(self.joint_dim, name="lin_enc")(enc) + nn.Dense(
+            self.joint_dim, name="lin_dec"
+        )(pred)
+        act = {"tanh": jnp.tanh, "relu": nn.relu}[self.activation]
+        return nn.Dense(self.vocab_size, name="lin_out")(act(h))
+
+
+class PredictionNetwork(nn.Module):
+    """LSTM label-prediction network (espnet transducer RNN decoder analogue)."""
+
+    vocab_size: int
+    embed_dim: int = 256
+    hidden_dim: int = 256
+    num_layers: int = 1
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        self.embed_tok = nn.Embed(self.vocab_size, self.embed_dim, name="embed_tok")
+        self.cells = [
+            nn.OptimizedLSTMCell(self.hidden_dim, name=f"lstm_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def initial_state(self, batch: int):
+        zeros = jnp.zeros((batch, self.hidden_dim))
+        return tuple((zeros, zeros) for _ in self.cells)
+
+    def __call__(
+        self,
+        labels: jnp.ndarray,  # (B, U) ignore-padded
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Returns (B, U+1, H): g(0)=blank-start state, g(u)=after label u."""
+        b, u = labels.shape
+        safe = jnp.where(labels >= 0, labels, 0)
+        x = self.embed_tok(safe)  # (B, U, E)
+        start = jnp.zeros((b, 1, self.embed_dim), x.dtype)  # <blank> start token
+        x = jnp.concatenate([start, x], axis=1)  # (B, U+1, E)
+        x = self.dropout(x, deterministic=deterministic)
+
+        scan_cell = nn.scan(
+            lambda cell, carry, inp: cell(carry, inp),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        h = x
+        for cell in self.cells:
+            state = cell.initialize_carry(jax.random.PRNGKey(0), h[:, 0].shape)
+            _, h = scan_cell(cell, state, h)
+        return h
+
+    def step(self, state, label: jnp.ndarray):
+        """One decode step: (state, (B,) label) -> (new_state, (B, H) output)."""
+        x = self.embed_tok(jnp.maximum(label, 0))
+        x = jnp.where((label >= 0)[:, None], x, jnp.zeros_like(x))
+        new_states = []
+        h = x
+        for cell, st in zip(self.cells, state):
+            st, h = cell(st, h)
+            new_states.append(st)
+        return tuple(new_states), h
+
+
+def transducer_greedy_decode(
+    enc: jnp.ndarray,  # (B, T, D)
+    enc_lengths: jnp.ndarray,
+    pred_apply,  # (state, label (B,)) -> (state, (B, H))
+    joint_apply,  # (enc_t (B, D), g (B, H)) -> (B, V) logits
+    init_state,
+    max_symbols_per_frame: int = 3,
+    blank_id: int = 0,
+    max_len: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittable greedy transducer decode with a symbols-per-frame cap.
+
+    Returns (tokens (B, T*max_symbols), lengths (B,)).
+    """
+    b, t, _ = enc.shape
+    lmax = t * max_symbols_per_frame
+
+    def frame_step(carry, t_idx):
+        state, last_emit, tokens, count = carry
+        enc_t = enc[:, t_idx]  # (B, D)
+
+        def symbol_step(carry2, _):
+            state, last_emit, tokens, count, active = carry2
+            new_state, g = pred_apply(state, last_emit)
+            logits = joint_apply(enc_t, g)
+            sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            is_blank = (sym == blank_id) | ~active | (t_idx >= enc_lengths)
+            # emit non-blank symbols
+            emit = ~is_blank & (count < lmax)
+            tokens = jnp.where(
+                emit[:, None] & (jnp.arange(lmax)[None, :] == count[:, None]),
+                sym[:, None],
+                tokens,
+            )
+            count = count + emit.astype(jnp.int32)
+            last_emit = jnp.where(emit, sym, last_emit)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    emit.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                new_state,
+                state,
+            )
+            active = active & ~is_blank
+            return (state, last_emit, tokens, count, active), None
+
+        active = jnp.ones((b,), bool)
+        (state, last_emit, tokens, count, _), _ = jax.lax.scan(
+            symbol_step,
+            (state, last_emit, tokens, count, active),
+            None,
+            length=max_symbols_per_frame,
+        )
+        return (state, last_emit, tokens, count), None
+
+    tokens0 = jnp.zeros((b, lmax), jnp.int32)
+    last0 = jnp.full((b,), -1, jnp.int32)  # -1 = start (embeds to zeros)
+    count0 = jnp.zeros((b,), jnp.int32)
+    (_, _, tokens, count), _ = jax.lax.scan(
+        frame_step, (init_state, last0, tokens0, count0), jnp.arange(t)
+    )
+    return tokens, count

@@ -16,6 +16,7 @@ from tailored_avsr_tpu.models.branchformer import BranchformerEncoder
 from tailored_avsr_tpu.models.ctc import CTCHead
 from tailored_avsr_tpu.models.maskctc import MaskCTCModel
 from tailored_avsr_tpu.tasks.common import (
+    decoder_name_is_transducer,
     build_decoder,
     build_frontend,
     build_normalize,
@@ -65,8 +66,25 @@ class ASRTask:
         decoder_name = getattr(config, "decoder", "transformer") or "transformer"
         decoder_conf = getattr(config, "decoder_conf", {})
         ctc_weight = float(model_conf.get("ctc_weight", 0.5))
+        joint_network = prediction_network = None
         decoder = None
-        if ctc_weight < 1.0:
+        if decoder_name_is_transducer(getattr(config, "decoder", "")):
+            from tailored_avsr_tpu.ops.rnnt import JointNetwork, PredictionNetwork
+
+            jconf = dict(getattr(config, "joint_net_conf", {}) or {})
+            dconf = dict(getattr(config, "decoder_conf", {}) or {})
+            joint_network = JointNetwork(
+                vocab_size=vocab_size,
+                joint_dim=int(jconf.get("joint_space_size", 320)),
+            )
+            prediction_network = PredictionNetwork(
+                vocab_size=vocab_size,
+                embed_dim=int(dconf.get("embed_size", encoder_size)),
+                hidden_dim=int(dconf.get("hidden_size", encoder_size)),
+                num_layers=int(dconf.get("num_layers", 1)),
+                dropout_rate=float(dconf.get("dropout_rate", 0.1)),
+            )
+        elif ctc_weight < 1.0:
             if is_maskctc and decoder_name == "transformer":
                 decoder_name = "mlm"
             decoder = build_decoder(
@@ -88,6 +106,8 @@ class ASRTask:
             encoder=encoder,
             ctc=ctc,
             decoder=decoder,
+            joint_network=joint_network,
+            prediction_network=prediction_network,
             frontend=frontend,
             specaug=specaug,
             normalize=normalize,

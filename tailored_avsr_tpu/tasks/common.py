@@ -89,3 +89,7 @@ def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size
             cls, conf, vocab_size=vocab_size, encoder_output_size=encoder_size
         )
     )
+
+
+def decoder_name_is_transducer(name) -> bool:
+    return bool(name) and "transducer" in str(name)
