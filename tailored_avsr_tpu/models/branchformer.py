@@ -339,29 +339,7 @@ class BranchformerEncoder(nn.Module):
         abd = self._per_layer(self.attn_branch_drop_rate)
         sdr = self._per_layer(self.stochastic_depth_rate)
         self.layers = [
-            BranchformerEncoderLayer(
-                size=self.output_size,
-                attention_heads=self.attention_heads,
-                attention_layer_type=self._att_type,
-                attention_dropout_rate=self.attention_dropout_rate,
-                use_attn=self.use_attn_branch,
-                use_cgmlp=self.use_cgmlp_branch,
-                cgmlp_linear_units=self.cgmlp_linear_units,
-                cgmlp_conv_kernel=self.cgmlp_conv_kernel,
-                use_linear_after_conv=self.use_linear_after_conv,
-                gate_activation=self.gate_activation,
-                linear_units=self.linear_units,
-                ffn_activation=self.ffn_activation_type,
-                macaron=True,
-                dropout_rate=self.dropout_rate,
-                merge_method=self.merge_method,
-                cgmlp_weight=cgw[i],
-                attn_branch_drop_rate=abd[i],
-                stochastic_depth_rate=sdr[i],
-                zero_triu=self.zero_triu,
-                use_flash=self.use_flash,
-                name=f"layer_{i}",
-            )
+            self._make_layer(i, cgw[i], abd[i], sdr[i])
             for i in range(self.num_blocks)
         ]
         if self.normalize_before:
@@ -369,6 +347,32 @@ class BranchformerEncoder(nn.Module):
         if self.interctc_use_conditioning:
             assert self.vocab_size is not None
             self.conditioning_layer = nn.Dense(self.output_size, name="conditioning_layer")
+
+    def _make_layer(self, i, cgmlp_weight, attn_branch_drop_rate, sdr):
+        """Layer-construction hook (overridden by ConformerEncoder)."""
+        return BranchformerEncoderLayer(
+            size=self.output_size,
+            attention_heads=self.attention_heads,
+            attention_layer_type=self._att_type,
+            attention_dropout_rate=self.attention_dropout_rate,
+            use_attn=self.use_attn_branch,
+            use_cgmlp=self.use_cgmlp_branch,
+            cgmlp_linear_units=self.cgmlp_linear_units,
+            cgmlp_conv_kernel=self.cgmlp_conv_kernel,
+            use_linear_after_conv=self.use_linear_after_conv,
+            gate_activation=self.gate_activation,
+            linear_units=self.linear_units,
+            ffn_activation=self.ffn_activation_type,
+            macaron=True,
+            dropout_rate=self.dropout_rate,
+            merge_method=self.merge_method,
+            cgmlp_weight=cgmlp_weight,
+            attn_branch_drop_rate=attn_branch_drop_rate,
+            stochastic_depth_rate=sdr,
+            zero_triu=self.zero_triu,
+            use_flash=self.use_flash,
+            name=f"layer_{i}",
+        )
 
     def embed_frames(self, xs, ilens, *, deterministic=True):
         """Apply the input embed; returns (x, lengths, pos_emb)."""

@@ -43,6 +43,8 @@ class ConventionalEncoder(nn.Module):
     interctc_use_conditioning: bool = False
     audiovisual_interctc_conditioning: bool = False
     use_flash: bool = False
+    encoder_class_type: str = "branchformer"  # 'branchformer' | 'conformer'
+    cnn_module_kernel: int = 31
 
     def _per_layer(self, v):
         if isinstance(v, (int, float)):
@@ -59,6 +61,26 @@ class ConventionalEncoder(nn.Module):
         sdr = self._per_layer(self.stochastic_depth_rate)
 
         def make_stack(prefix):
+            if self.encoder_class_type == "conformer":
+                from tailored_avsr_tpu.models.conformer import ConformerEncoderLayer
+
+                return [
+                    ConformerEncoderLayer(
+                        size=self.output_size,
+                        attention_heads=self.attention_heads,
+                        attention_layer_type=self.attention_layer_type,
+                        attention_dropout_rate=self.attention_dropout_rate,
+                        cnn_module_kernel=self.cnn_module_kernel,
+                        linear_units=self.linear_units,
+                        ffn_activation=self.ffn_activation_type,
+                        macaron=self.macaron,
+                        dropout_rate=self.dropout_rate,
+                        stochastic_depth_rate=sdr[i],
+                        use_flash=self.use_flash,
+                        name=f"{prefix}_layer_{i}",
+                    )
+                    for i in range(self.num_blocks)
+                ]
             return [
                 BranchformerEncoderLayer(
                     size=self.output_size,

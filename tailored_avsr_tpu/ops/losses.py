@@ -101,8 +101,13 @@ def label_smoothing_loss(
     true_dist = jnp.where(
         jax.nn.one_hot(tgt, v, dtype=bool), confidence, true_dist
     )
-    # KLDiv including the constant sum p*log p term (matches torch KLDivLoss)
-    kl = true_dist * (jnp.log(true_dist) - logp)
+    # KLDiv including the constant sum p*log p term (matches torch KLDivLoss);
+    # 0 * log(0) -> 0 so smoothing = 0 degrades to plain cross-entropy
+    kl = jnp.where(
+        true_dist > 0.0,
+        true_dist * (jnp.log(jnp.maximum(true_dist, 1e-30)) - logp),
+        0.0,
+    )
     kl = jnp.sum(kl, axis=-1) * valid.astype(jnp.float32)
     denom = jnp.sum(valid) if normalize_length else targets.shape[0]
     return jnp.sum(kl) / denom

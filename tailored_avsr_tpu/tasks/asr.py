@@ -48,14 +48,21 @@ class ASRTask:
 
         encoder_name = getattr(config, "encoder", "branchformer")
         encoder_conf = dict(getattr(config, "encoder_conf", {}) or {})
-        if encoder_name != "branchformer":
-            raise ValueError(
-                f"encoder '{encoder_name}' not implemented yet (branchformer only)"
-            )
         interctc = bool(encoder_conf.get("interctc_use_conditioning", False))
-        encoder = BranchformerEncoder(
+        if encoder_name == "branchformer":
+            encoder_cls = BranchformerEncoder
+        elif encoder_name == "conformer":
+            from tailored_avsr_tpu.models.conformer import ConformerEncoder
+
+            encoder_cls = ConformerEncoder
+        else:
+            raise ValueError(
+                f"encoder '{encoder_name}' not implemented (choices: "
+                "branchformer, conformer)"
+            )
+        encoder = encoder_cls(
             **filter_conf(
-                BranchformerEncoder,
+                encoder_cls,
                 encoder_conf,
                 vocab_size=vocab_size if interctc else None,
             )
