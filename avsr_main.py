@@ -182,6 +182,7 @@ def run_inference(args, config, tokenizer, converter, transforms):
         ckpt_path=args.load_checkpoint or None,
         lm_config=lm_config,
         lm_ckpt_path=args.load_lm or None,
+        ngram_path=args.ngram_file or None,
     )
     ds = AVSRDataset(args.test_dataset, task=task, is_training=False)
     inf_batch = int((getattr(config, "inference_conf", {}) or {}).get("batch_size", 1))
@@ -193,12 +194,21 @@ def run_inference(args, config, tokenizer, converter, transforms):
     )
     pairs = []
     t0 = time.time()
+    profiled = not args.profile_dir
     for batch in loader:
+        if not profiled:
+            import jax.profiler
+
+            jax.profiler.start_trace(args.profile_dir)
         if task == "avsr" and args.mask == "audio":
             batch["audio"] = batch["audio"] * 0.0
         if task == "avsr" and args.mask == "video":
             batch["video"] = batch["video"] * 0.0
         results = s2t(batch)
+        if not profiled:
+            jax.profiler.stop_trace()
+            profiled = True
+            print(f"wrote profiler trace to {args.profile_dir}")
         for ref, (text, _, _) in zip(batch["refs"], results):
             pairs.append((ref, text))
             print(f"REF: {ref}\nHYP: {text}\n")
@@ -253,6 +263,11 @@ def get_parser():
     parser.add_argument("--load-checkpoint", default="", type=str)
     parser.add_argument("--lm-config-file", default="", type=str)
     parser.add_argument("--load-lm", default="", type=str)
+    parser.add_argument("--ngram-file", default="", type=str,
+                        help="ARPA n-gram LM for shallow fusion")
+    parser.add_argument("--profile-dir", default="", type=str,
+                        help="write a jax.profiler trace of the first "
+                             "inference batch to this directory")
     parser.add_argument("--load-modules", nargs="+", default=["entire-e2e"], type=str)
     parser.add_argument("--freeze-modules", nargs="+", default=["no-frozen"], type=str)
     parser.add_argument("--yaml-overrides", metavar="CONF:KEY:VALUE", nargs="*")

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tailored_avsr_tpu.data.tokenizer import get_tokenizer_converter, load_token_list
+import dataclasses
+
 from tailored_avsr_tpu.decode.beam_search import BeamSearchConfig, beam_search
 from tailored_avsr_tpu.decode.greedy import ctc_greedy_collapse
 from tailored_avsr_tpu.decode.maskctc import maskctc_decode
@@ -39,6 +41,7 @@ class Speech2Text:
         ckpt_path: Optional[str] = None,
         lm_config=None,
         lm_ckpt_path: Optional[str] = None,
+        ngram_path: Optional[str] = None,
         rng_seed: int = 0,
     ):
         self.config = config
@@ -62,6 +65,12 @@ class Speech2Text:
         )
         self.maskctc_n_iterations = int(inf.get("maskctc_n_iterations", 10))
         self.maskctc_threshold = float(inf.get("maskctc_threshold_probability", 0.999))
+        self.ngram = None
+        self.ngram_weight = float(inf.get("ngram_weight", 0.0))
+        if ngram_path and self.ngram_weight > 0:
+            from tailored_avsr_tpu.decode.ngram import NgramScorer
+
+            self.ngram = NgramScorer(ngram_path, token_list)
 
         self.lm = None
         self.lm_variables = None
@@ -108,6 +117,9 @@ class Speech2Text:
     def _build_decode(self, shape_key):
         model, lm, lm_vars = self.model, self.lm, self.lm_variables
         cfg = self.beam_config
+        # n-gram-only fusion rides on the lm_weight slot
+        if lm is None and self.ngram is not None and self.ngram_weight > 0:
+            cfg = dataclasses.replace(cfg, lm_weight=self.ngram_weight)
         is_maskctc = self.is_maskctc
         n_iter, thr = self.maskctc_n_iterations, self.maskctc_threshold
 
@@ -164,9 +176,17 @@ class Speech2Text:
                 )
 
             lm_fn = None
+            ngram, ngram_w = self.ngram, self.ngram_weight
             if lm is not None and cfg.lm_weight > 0:
                 def lm_fn(ys, pos):  # noqa: E306
-                    return lm.apply(lm_vars, ys, pos, method="score_step")
+                    out = lm.apply(lm_vars, ys, pos, method="score_step")
+                    if ngram is not None:
+                        # fold the n-gram in, rescaled onto the lm weight
+                        out = out + (ngram_w / cfg.lm_weight) * ngram.score_step(ys, pos)
+                    return out
+            elif ngram is not None and ngram_w > 0:
+                def lm_fn(ys, pos):  # noqa: E306
+                    return ngram.score_step(ys, pos)
 
             res = beam_search(
                 att_fn, ctc_logp, enc_lens, model.sos, model.eos, cfg, lm_score_fn=lm_fn

@@ -82,7 +82,9 @@ class ASRModel(nn.Module):
         if self.normalize is not None:
             feats, feats_lengths = self.normalize(feats, feats_lengths)
         if self.preencoder is not None:
-            feats, feats_lengths = self.preencoder(feats, feats_lengths)
+            feats, feats_lengths = self.preencoder(
+                feats, feats_lengths, deterministic=deterministic
+            )
         enc_out, enc_lens, aux = self.encoder(
             feats,
             feats_lengths,

@@ -98,9 +98,13 @@ class AVSRModel(nn.Module):
         if self.normalize is not None:
             a_feats, a_lens = self.normalize(a_feats, a_lens)
         if self.acoustic_preencoder is not None:
-            a_feats, a_lens = self.acoustic_preencoder(a_feats, a_lens)
+            a_feats, a_lens = self.acoustic_preencoder(
+                a_feats, a_lens, deterministic=deterministic
+            )
         if self.visual_preencoder is not None:
-            v_feats, v_lens = self.visual_preencoder(v_feats, v_lens)
+            v_feats, v_lens = self.visual_preencoder(
+                v_feats, v_lens, deterministic=deterministic
+            )
 
         a_feats, a_lens = self.acoustic_embed.apply_embed_layer(
             a_feats, a_lens, deterministic=deterministic

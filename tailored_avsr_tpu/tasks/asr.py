@@ -16,11 +16,13 @@ from tailored_avsr_tpu.models.branchformer import BranchformerEncoder
 from tailored_avsr_tpu.models.ctc import CTCHead
 from tailored_avsr_tpu.models.maskctc import MaskCTCModel
 from tailored_avsr_tpu.tasks.common import (
-    decoder_name_is_transducer,
     build_decoder,
     build_frontend,
     build_normalize,
+    build_postencoder,
+    build_preencoder,
     build_specaug,
+    decoder_name_is_transducer,
     filter_conf,
 )
 
@@ -107,12 +109,22 @@ class ASRTask:
             dropout_rate=float(ctc_conf.get("dropout_rate", 0.0)),
         )
 
+        preencoder = build_preencoder(
+            getattr(config, "preencoder", None),
+            getattr(config, "preencoder_conf", {}),
+        )
+        postencoder = build_postencoder(
+            getattr(config, "postencoder", None),
+            getattr(config, "postencoder_conf", {}),
+        )
         model_cls = {"espnet": ASRModel, "maskctc": MaskCTCModel}[model_name]
         return model_cls(
             vocab_size=vocab_size,
             encoder=encoder,
             ctc=ctc,
             decoder=decoder,
+            preencoder=preencoder,
+            postencoder=postencoder,
             joint_network=joint_network,
             prediction_network=prediction_network,
             frontend=frontend,

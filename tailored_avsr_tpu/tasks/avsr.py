@@ -19,11 +19,13 @@ from tailored_avsr_tpu.models.fusion import AdaptiveAudioVisualFusion
 from tailored_avsr_tpu.models.maskctc import AVSRMaskCTCModel
 from tailored_avsr_tpu.models.tailored import TailoredEncoder
 from tailored_avsr_tpu.tasks.common import (
-    decoder_name_is_transducer,
     build_decoder,
     build_frontend,
     build_normalize,
+    build_postencoder,
+    build_preencoder,
     build_specaug,
+    decoder_name_is_transducer,
     filter_conf,
 )
 
@@ -142,10 +144,25 @@ class AVSRTask:
             dropout_rate=float(ctc_conf.get("dropout_rate", 0.0)),
         )
 
+        acoustic_preencoder = build_preencoder(
+            getattr(config, "acoustic_preencoder", None),
+            getattr(config, "acoustic_preencoder_conf", {}),
+        )
+        visual_preencoder = build_preencoder(
+            getattr(config, "visual_preencoder", None),
+            getattr(config, "visual_preencoder_conf", {}),
+        )
+        postencoder = build_postencoder(
+            getattr(config, "postencoder", None),
+            getattr(config, "postencoder_conf", {}),
+        )
         model_cls = {"espnet": AVSRModel, "maskctc": AVSRMaskCTCModel}[model_name]
         return model_cls(
             vocab_size=vocab_size,
             encoder=encoder,
+            acoustic_preencoder=acoustic_preencoder,
+            visual_preencoder=visual_preencoder,
+            postencoder=postencoder,
             audiovisual_fusion=fusion,
             ctc=ctc,
             acoustic_embed=acoustic_embed,

@@ -93,3 +93,23 @@ def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size
 
 def decoder_name_is_transducer(name) -> bool:
     return bool(name) and "transducer" in str(name)
+
+
+def build_preencoder(name, conf):
+    if name in (None, "none", ""):
+        return None
+    if name == "linear":
+        from tailored_avsr_tpu.models.prepostencoder import LinearProjection
+
+        return LinearProjection(**filter_conf(LinearProjection, conf))
+    raise ValueError(f"unknown preencoder: {name}")
+
+
+def build_postencoder(name, conf):
+    if name in (None, "none", ""):
+        return None
+    if name == "linear":
+        from tailored_avsr_tpu.models.prepostencoder import LinearPostencoder
+
+        return LinearPostencoder(**filter_conf(LinearPostencoder, conf))
+    raise ValueError(f"unknown postencoder: {name}")
