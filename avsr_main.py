@@ -105,6 +105,12 @@ def run_training(args, config, tokenizer, converter, transforms):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"model parameters: {n_params / 1e6:.1f}M")
 
+    init_scheme = getattr(config, "init", None)
+    if init_scheme:
+        from tailored_avsr_tpu.utils.initialize import initialize
+
+        variables = initialize(variables, init_scheme)
+        print(f"re-initialized parameters with {init_scheme}")
     if args.load_checkpoint:
         variables = load_e2e(variables, args.load_checkpoint, args.load_modules)
     frozen = None
@@ -115,7 +121,13 @@ def run_training(args, config, tokenizer, converter, transforms):
         (getattr(config, "encoder_conf", {}) or {}).get("output_size", 256)
     ), steps_per_epoch=len(train_loader), frozen_mask=frozen)
     state = create_train_state(variables, tx)
-    train_step = make_train_step(model, tx, BATCH_KEYS[task])
+    compute_dtype = (
+        jnp.bfloat16 if str(getattr(config, "dtype", "float32")) in
+        ("bfloat16", "bf16") else None
+    )
+    train_step = make_train_step(
+        model, tx, BATCH_KEYS[task], compute_dtype=compute_dtype
+    )
     eval_step = make_eval_step(model, BATCH_KEYS[task])
 
     def validation(loader):

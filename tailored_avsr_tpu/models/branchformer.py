@@ -99,6 +99,7 @@ class BranchformerEncoderLayer(nn.Module):
     attn_branch_drop_rate: float = 0.0
     stochastic_depth_rate: float = 0.0
     zero_triu: bool = False
+    merge_conv_kernel: int = 0  # >0 adds the E-Branchformer depthwise-conv merge
     use_flash: bool = False
     use_fused_csgu: bool = False  # Pallas fused gate: 3.6x faster per layer but
     # ~70s Mosaic compile per call site under remote compilation; enable for
@@ -168,6 +169,16 @@ class BranchformerEncoderLayer(nn.Module):
         if self._two_branches:
             if self.merge_method == "concat":
                 self.merge_proj = nn.Dense(self.size, name="merge_proj")
+                if self.merge_conv_kernel > 0:
+                    # E-Branchformer: depthwise conv over the concatenated
+                    # branches before the merge projection (arXiv:2210.00077)
+                    self.depthwise_conv_fusion = nn.Conv(
+                        features=2 * self.size,
+                        kernel_size=(self.merge_conv_kernel,),
+                        padding="SAME",
+                        feature_group_count=2 * self.size,
+                        name="depthwise_conv_fusion",
+                    )
             elif self.merge_method == "learned_ave":
                 self.pooling_proj1 = nn.Dense(1, name="pooling_proj1")
                 self.pooling_proj2 = nn.Dense(1, name="pooling_proj2")
@@ -225,7 +236,10 @@ class BranchformerEncoderLayer(nn.Module):
 
         if self._two_branches:
             if self.merge_method == "concat":
-                merged = self.merge_proj(jnp.concatenate([x1, x2], axis=-1))
+                x_concat = jnp.concatenate([x1, x2], axis=-1)
+                if self.merge_conv_kernel > 0:
+                    x_concat = x_concat + self.depthwise_conv_fusion(x_concat)
+                merged = self.merge_proj(x_concat)
             elif self.merge_method == "learned_ave":
                 w1l = attention_pooled_weight(
                     x1, mask, self.pooling_proj1, self.weight_proj1, self.size
@@ -293,6 +307,7 @@ class BranchformerEncoder(nn.Module):
     vocab_size: Optional[int] = None  # needed when interctc_use_conditioning
     use_flash: bool = False  # Pallas fused attention on the TPU path
     use_fused_csgu: bool = False
+    merge_conv_kernel: int = 0  # >0 = E-Branchformer merge
 
     def _per_layer(self, v):
         if isinstance(v, (int, float)):
@@ -375,6 +390,7 @@ class BranchformerEncoder(nn.Module):
             attn_branch_drop_rate=attn_branch_drop_rate,
             stochastic_depth_rate=sdr,
             zero_triu=self.zero_triu,
+            merge_conv_kernel=self.merge_conv_kernel,
             use_flash=self.use_flash,
             use_fused_csgu=self.use_fused_csgu,
             name=f"layer_{i}",

@@ -53,6 +53,10 @@ class ASRTask:
         interctc = bool(encoder_conf.get("interctc_use_conditioning", False))
         if encoder_name == "branchformer":
             encoder_cls = BranchformerEncoder
+        elif encoder_name == "e_branchformer":
+            encoder_cls = BranchformerEncoder
+            encoder_conf.setdefault("merge_method", "concat")
+            encoder_conf.setdefault("merge_conv_kernel", 3)
         elif encoder_name == "conformer":
             from tailored_avsr_tpu.models.conformer import ConformerEncoder
 
@@ -60,7 +64,7 @@ class ASRTask:
         else:
             raise ValueError(
                 f"encoder '{encoder_name}' not implemented (choices: "
-                "branchformer, conformer)"
+                "branchformer, e_branchformer, conformer)"
             )
         encoder = encoder_cls(
             **filter_conf(

@@ -49,14 +49,36 @@ def make_train_step(
     tx,
     batch_keys,
     donate: bool = True,
+    compute_dtype=None,
 ) -> Callable:
-    """Returns jitted (state, batch_tuple, rng) -> (state, stats)."""
+    """Returns jitted (state, batch_tuple, rng) -> (state, stats).
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) enables mixed precision: the f32
+    master params are cast for the forward/backward (grad-of-cast casts the
+    gradients back to f32), losses accumulate in f32 — the TPU-native
+    replacement for the reference's dead AMP flag (SURVEY.md §2.4).
+    """
+
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
 
     def loss_fn(params, batch_stats, batch, rng):
         rngs = {
             name: jax.random.fold_in(rng, i)
             for i, name in enumerate(("dropout", "skip", "specaug", "mlm"))
         }
+        params = _cast(params)
+        batch = tuple(
+            _cast(b) if hasattr(b, "dtype") and b.dtype == jnp.float32 else b
+            for b in batch
+        )
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

@@ -1,0 +1,116 @@
+"""Tests: E-Branchformer merge, mixed-precision train step, espnet-style
+initialize, linear pre/post-encoders, global-MVN stats script."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_models import small_branchformer  # noqa: E402
+
+
+def test_e_branchformer_merge():
+    key = jax.random.PRNGKey(0)
+    enc = small_branchformer(merge_method="concat", merge_conv_kernel=3)
+    x = jax.random.normal(key, (2, 21, 20))
+    ilens = jnp.array([21, 15])
+    params = enc.init(key, x, ilens)
+    assert "depthwise_conv_fusion" in params["params"]["layer_0"]
+    out, olens, _ = enc.apply(params, x, ilens)
+    assert out.shape[-1] == 32 and np.isfinite(np.asarray(out)).all()
+
+
+def test_e_branchformer_task_registry():
+    import argparse
+
+    from tailored_avsr_tpu.tasks import ASRTask
+
+    cfg = argparse.Namespace(
+        task="asr", model="espnet", frontend="default", frontend_conf={},
+        encoder="e_branchformer",
+        encoder_conf={"output_size": 32, "attention_heads": 4, "linear_units": 48,
+                      "cgmlp_linear_units": 48, "cgmlp_conv_kernel": 7,
+                      "num_blocks": 1, "input_layer": "conv2d", "dropout_rate": 0.0},
+        ctc_conf={}, model_conf={"ctc_weight": 1.0},
+    )
+    tokens = ["<blank>", "<unk>"] + list("ABC") + ["<sos/eos>"]
+    model = ASRTask.build_model(cfg, tokens)
+    assert model.encoder.merge_method == "concat"
+    assert model.encoder.merge_conv_kernel == 3
+
+
+def test_mixed_precision_train_step():
+    from tailored_avsr_tpu.train import create_train_state, make_train_step, set_optimizer
+    from tailored_avsr_tpu.models import ASRModel, CTCHead
+
+    key = jax.random.PRNGKey(1)
+    enc = small_branchformer(num_blocks=1)
+    model = ASRModel(vocab_size=8, encoder=enc, ctc=CTCHead(8), ctc_weight=1.0)
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, -1], [3, -1, -1]])
+    tlens = jnp.array([2, 1])
+    variables = model.init(key, feats, flens, text, tlens)
+    ts = {"optimizer": "adam", "scheduler": "constant", "learning_rate": 1e-3,
+          "accum_grad": 1, "epochs": 1}
+    tx, _ = set_optimizer(ts, 32, 10)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, None, compute_dtype=jnp.bfloat16)
+    new_state, stats = step(state, (feats, flens, text, tlens), key)
+    assert np.isfinite(float(stats["loss"]))
+    # master params stay f32
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_initialize_schemes():
+    from tailored_avsr_tpu.utils.initialize import initialize
+
+    key = jax.random.PRNGKey(2)
+    enc = small_branchformer(num_blocks=1)
+    x = jax.random.normal(key, (1, 21, 20))
+    variables = enc.init(key, x, jnp.array([21]))
+    out = initialize(variables, "xavier_uniform", seed=3)
+    k0 = np.asarray(
+        jax.tree_util.tree_leaves(variables["params"]["layer_0"]["feed_forward"])[1]
+    )
+    k1 = np.asarray(
+        jax.tree_util.tree_leaves(out["params"]["layer_0"]["feed_forward"])[1]
+    )
+    assert k0.shape == k1.shape and not np.allclose(k0, k1)
+    # norms reset to 1, biases to 0
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["after_norm"]["scale"]), 1.0
+    )
+
+
+def test_linear_pre_post_encoders():
+    from tailored_avsr_tpu.models.prepostencoder import LinearPostencoder, LinearProjection
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 7, 10))
+    lens = jnp.array([7, 5])
+    pre = LinearProjection(output_size=16, dropout_rate=0.0)
+    y, l2 = pre.apply(pre.init(key, x, lens), x, lens)
+    assert y.shape == (2, 7, 16)
+    post = LinearPostencoder(output_size=12)
+    z, _ = post.apply(post.init(key, y, lens), y, lens)
+    assert z.shape == (2, 7, 12)
+
+
+def test_global_mvn_stats_script(tmp_path):
+    from tests.synthetic import make_synthetic_corpus
+
+    csv_path, _ = make_synthetic_corpus(str(tmp_path), n=2)
+    import importlib
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
+    gm = importlib.import_module("compute_global_mvn_stats")
+    out = str(tmp_path / "stats.npz")
+    gm.main(["--dataset", csv_path, "--output", out])
+    stats = np.load(out)
+    assert stats["mean"].shape == (80,) and (stats["std"] > 0).all()
