@@ -64,10 +64,16 @@ def beam_search(
     config: BeamSearchConfig,
     lm_score_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
     blank_id: int = 0,
+    att_state: Optional[object] = None,
 ) -> BeamSearchResult:
     """att_score_fn(ys (N, L+2), pos scalar) -> (N, V) step log-probs.
 
     N = B * beam_size; ys rows are sos-prefixed fixed-size buffers.
+
+    KV-cache fast path: pass ``att_state`` (a pytree with leading dim N on
+    every leaf, e.g. a decoder KV cache) and make att_score_fn a stateful
+    ``(ys, pos, state) -> (logp, new_state)``; the search threads the state
+    through the loop and gathers its rows on every beam reorder.
     """
     b, t, v = ctc_logp.shape
     k = config.beam_size
@@ -98,11 +104,16 @@ def beam_search(
     fin_scores = jnp.full((b, k), NEG_INF)
     fin_lengths = jnp.zeros((b, k), jnp.int32)
 
+    stateful = att_state is not None
+
     def step(i, carry):
-        ys, scores, ctc_state, fin_tokens, fin_scores, fin_lengths = carry
+        ys, scores, ctc_state, att_st, fin_tokens, fin_scores, fin_lengths = carry
         pos = i + 1  # position being generated
         ys_flat = ys.reshape(n, lmax + 2)
-        att_logp = att_score_fn(ys_flat, jnp.asarray(pos))  # (N, V)
+        if stateful:
+            att_logp, att_st = att_score_fn(ys_flat, jnp.asarray(pos), att_st)
+        else:
+            att_logp = att_score_fn(ys_flat, jnp.asarray(pos))  # (N, V)
         step_logp = att_w * att_logp
         if lm_score_fn is not None and config.lm_weight > 0.0:
             step_logp = step_logp + config.lm_weight * lm_score_fn(
@@ -171,16 +182,19 @@ def beam_search(
         new_tok = cand_tok[batch_idx, top_alive_idx]
         new_ys = new_ys.at[:, :, pos].set(new_tok)
 
+        g_src = (jnp.arange(b)[:, None] * k + src_hyp).reshape(n)
         if use_ctc:
-            g_src = (jnp.arange(b)[:, None] * k + src_hyp).reshape(n)
             ctc_state = ctc_prefix_select(
                 ctc_state, psi, r_new, cand_ids, g_src, sel_cand.reshape(n)
             )
-        return (new_ys, top_alive, ctc_state, fin_tokens, fin_scores, fin_lengths)
+        if stateful:
+            att_st = jax.tree_util.tree_map(lambda x: x[g_src], att_st)
+        return (new_ys, top_alive, ctc_state, att_st, fin_tokens, fin_scores,
+                fin_lengths)
 
-    carry = (ys, scores, ctc_state, fin_tokens, fin_scores, fin_lengths)
+    carry = (ys, scores, ctc_state, att_state, fin_tokens, fin_scores, fin_lengths)
     carry = jax.lax.fori_loop(0, lmax, step, carry)
-    _, _, _, fin_tokens, fin_scores, fin_lengths = carry
+    _, _, _, _, fin_tokens, fin_scores, fin_lengths = carry
 
     nbest = min(config.nbest, k)
     best_scores, best_idx = jax.lax.top_k(fin_scores, nbest)

@@ -166,14 +166,38 @@ class Speech2Text:
                 )
                 return res.tokens, res.lengths, jnp.zeros(res.lengths.shape)
             mem_mask = make_valid_mask(enc_lens, enc_out.shape[1])
-
-            def att_fn(ys, pos):
-                rep = ys.shape[0] // enc_out.shape[0]
-                mem = jnp.repeat(enc_out, rep, axis=0)
-                mm = jnp.repeat(mem_mask, rep, axis=0)
-                return model.apply(
-                    variables, mem, mm, ys, pos, method="decoder_score_step"
+            k = cfg.beam_size
+            n = enc_out.shape[0] * k
+            use_cache = (
+                getattr(model.decoder, "layer_variant", None) == "transformer"
+            )
+            if use_cache:
+                # KV-cache fast path: cross-attn K/V once, O(1) per step
+                mem_kv = model.apply(
+                    variables, enc_out,
+                    method=lambda m, mem: m.decoder.precompute_memory(mem),
                 )
+                mem_kv = jax.tree_util.tree_map(
+                    lambda x: jnp.repeat(x, k, axis=0), mem_kv
+                )
+                mm_rep = jnp.repeat(mem_mask, k, axis=0)
+                att_state = model.decoder.init_cache(n, enc_out.shape[1])
+
+                def att_fn(ys, pos, cache):
+                    return model.apply(
+                        variables, mem_kv, mm_rep, ys, pos, cache,
+                        method=lambda m, *a: m.decoder.score_step_cached(*a),
+                    )
+            else:
+                att_state = None
+
+                def att_fn(ys, pos):
+                    rep = ys.shape[0] // enc_out.shape[0]
+                    mem = jnp.repeat(enc_out, rep, axis=0)
+                    mm = jnp.repeat(mem_mask, rep, axis=0)
+                    return model.apply(
+                        variables, mem, mm, ys, pos, method="decoder_score_step"
+                    )
 
             lm_fn = None
             ngram, ngram_w = self.ngram, self.ngram_weight
@@ -189,7 +213,8 @@ class Speech2Text:
                     return ngram.score_step(ys, pos)
 
             res = beam_search(
-                att_fn, ctc_logp, enc_lens, model.sos, model.eos, cfg, lm_score_fn=lm_fn
+                att_fn, ctc_logp, enc_lens, model.sos, model.eos, cfg,
+                lm_score_fn=lm_fn, att_state=att_state,
             )
             return res.tokens[:, 0], res.lengths[:, 0], res.scores[:, 0]
 

@@ -238,6 +238,63 @@ class TransformerDecoder(_DecoderBase):
         return jax.nn.log_softmax(step_logits, axis=-1)
 
 
+    # ---- KV-cache fast path (jitted beam search) ---------------------------
+    # Turns the O(L) full-prefix recompute per step into O(1): self-attn K/V
+    # are cached per layer and cross-attn K/V precomputed once per utterance.
+    # Transformer layers only (Sim-T re-applies layer-1 scores across the full
+    # prefix, so it keeps the recompute path).
+
+    def precompute_memory(self, memory: jnp.ndarray):
+        """Per-layer cross-attention (K, V) from encoder memory."""
+        assert self.layer_variant == "transformer"
+        return [layer.src_attn.project_kv(memory) for layer in self.layers]
+
+    def init_cache(self, n: int, max_len: int, dtype=jnp.float32):
+        d = self.encoder_output_size
+        h, dk = self.attention_heads, d // self.attention_heads
+        return [
+            (
+                jnp.zeros((n, h, max_len, dk), dtype),
+                jnp.zeros((n, h, max_len, dk), dtype),
+            )
+            for _ in range(self.num_blocks)  # callable outside apply
+        ]
+
+    def score_step_cached(
+        self,
+        mem_kv,  # list of per-layer (K, V) from precompute_memory
+        memory_mask: Optional[jnp.ndarray],
+        ys: jnp.ndarray,  # (N, L) fixed-size token buffer
+        pos: jnp.ndarray,  # scalar: position being generated
+        cache,  # list of per-layer (K, V) self-attention caches
+    ):
+        """Returns ((N, V) log-probs of token at ``pos``, updated cache)."""
+        assert self.layer_variant == "transformer"
+        n, l = ys.shape
+        lc = cache[0][0].shape[2]
+        tok = jnp.take_along_axis(
+            ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
+        )  # (N, 1)
+        x = self.embed_tok(tok)  # (N, 1, D)
+        x = self.pos_enc.at_position(x, pos - 1, lc)
+        self_mask = (jnp.arange(lc)[None, :] < pos).repeat(n, 0)  # (N, Lc)
+        new_cache = []
+        for layer, (mk, mv), (ck, cv) in zip(self.layers, mem_kv, cache):
+            h = layer.norm1(x)
+            k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new, pos - 1, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new, pos - 1, axis=2)
+            x = x + layer.self_attn.attend_kv(h, ck, cv, self_mask)
+            h = layer.norm2(x)
+            x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)
+            h = layer.norm3(x)
+            x = x + layer.feed_forward(h, deterministic=True)
+            new_cache.append((ck, cv))
+        x = self.after_norm(x)
+        logits = self.output_layer(x) if self.use_output_layer else x
+        return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), new_cache
+
+
 class MLMDecoder(_DecoderBase):
     """Mask-CTC MLM decoder: full (non-causal) self-attention over tokens."""
 

@@ -101,6 +101,29 @@ class MultiHeadedAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[:-1] + (d,))
         return self.linear_out(out), attn
 
+    def project_kv(self, x: jnp.ndarray):
+        """(B, T, D) -> heads-form key/value (B, H, T, dk) for KV caching."""
+        return self._heads(self.linear_k(x)), self._heads(self.linear_v(x))
+
+    def attend_kv(
+        self,
+        query: jnp.ndarray,  # (B, 1, D) single-step query input
+        k: jnp.ndarray,  # (B, H, T, dk) cached keys
+        v: jnp.ndarray,  # (B, H, T, dk) cached values
+        mask: Optional[jnp.ndarray] = None,  # (B, T) key validity
+    ) -> jnp.ndarray:
+        """Single-query attention over cached K/V (decode fast path)."""
+        d = query.shape[-1]
+        dk = d // self.num_heads
+        q = self._heads(self.linear_q(query))  # (B, H, 1, dk)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(dk, jnp.float32)
+        )
+        attn = _masked_softmax(scores, mask).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], 1, d)
+        return self.linear_out(out)
+
     def apply_scores(
         self, values: jnp.ndarray, scores: jnp.ndarray, *, deterministic: bool = True
     ) -> jnp.ndarray:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -54,6 +55,13 @@ class AbsolutePositionalEncoding(nn.Module):
         pe = jnp.asarray(abs_pos_table(t, d), dtype=x.dtype)
         x = x * jnp.asarray(np.sqrt(d), dtype=x.dtype) + pe[None]
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+    def at_position(self, x: jnp.ndarray, pos, max_len: int) -> jnp.ndarray:
+        """Single-step variant: x (B, 1, D) at (traced) position ``pos``."""
+        d = x.shape[-1]
+        pe = jnp.asarray(abs_pos_table(max_len, d), dtype=x.dtype)
+        row = jax.lax.dynamic_index_in_dim(pe, pos, axis=0, keepdims=False)
+        return x * jnp.asarray(np.sqrt(d), dtype=x.dtype) + row[None, None, :]
 
 
 class ScaledPositionalEncoding(nn.Module):
