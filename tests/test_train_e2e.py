@@ -101,6 +101,33 @@ def test_asr_main_ctc_only_greedy_slice(corpus, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "models", "model_average.ckpt"))
 
 
+def test_maskctc_avsr_cli(corpus, tmp_path):
+    """Mask-CTC model family through the full CLI (train 1 epoch + NAR infer)."""
+    csv_path, token_path = corpus
+    cfg = write_tiny_config(
+        tmp_path, token_path,
+        model="maskctc",
+        model_conf={"ctc_weight": 0.3},
+        inference_conf={"maskctc_n_iterations": 2,
+                        "maskctc_threshold_probability": 0.99,
+                        "batch_size": 2},
+        training_settings={"epochs": 1, "average_epochs": 1, "batch_size": 3},
+    )
+    out_dir = str(tmp_path / "exp_maskctc")
+    import avsr_main
+
+    avsr_main.main([
+        "--config-file", cfg,
+        "--training-dataset", csv_path,
+        "--validation-dataset", csv_path,
+        "--test-dataset", csv_path,
+        "--mode", "both",
+        "--output-dir", out_dir,
+        "--output-name", "maskctc",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "inference", "maskctc.inf"))
+
+
 def test_avsr_mask_robustness_inference(corpus, tmp_path):
     csv_path, token_path = corpus
     cfg = write_tiny_config(tmp_path, token_path)
