@@ -7,7 +7,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: real-time factor of full AVSR inference (audio+video frontends,
 tailored encoder with the Pallas fused-attention kernel, adaptive fusion,
-greedy CTC) in bfloat16 at batch 8 = audio-seconds transcribed per wall
+greedy CTC) in bfloat16 at batch 32 = audio-seconds transcribed per wall
 second per chip. The reference repo publishes no RTF numbers (BASELINE.md);
 the north-star is >=5x an A100 PyTorch baseline. A100 PyTorch inference of
 comparable espnet-class AVSR stacks runs around ~30x real time at batch 1;
@@ -32,7 +32,7 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     model = _build_flagship(use_flash=on_tpu)
 
-    batch, frames = 8, 100  # 4-second utterances at 25 fps
+    batch, frames = 32, 100  # 4-second utterances at 25 fps
     rng = np.random.RandomState(0)
     samples = frames * 640
     audio = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
@@ -61,8 +61,16 @@ def main():
             variables, audio, alens, video, vlens, method="ctc_greedy"
         )
 
-    ids, lens = infer(audio, alens, video, vlens)  # warmup/compile
-    ids.block_until_ready()
+    # warmup/compile — the remote-compile tunnel can drop transiently; retry
+    for attempt in range(3):
+        try:
+            ids, lens = infer(audio, alens, video, vlens)
+            ids.block_until_ready()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)
 
     iters = 10
     t0 = time.perf_counter()
@@ -76,7 +84,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "avsr_inference_rtf_greedy_batch8_bf16",
+                "metric": "avsr_inference_rtf_greedy_batch32_bf16",
                 "value": round(rtf, 2),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtf / 150.0, 3),
