@@ -145,9 +145,17 @@ def run_training(args, config, tokenizer, converter, transforms):
         return tot_loss / max(n, 1), cer
 
     os.makedirs(os.path.join(args.output_dir, "models"), exist_ok=True)
+    from tailored_avsr_tpu.train.checkpoint import load_train_state, save_train_state
+
+    ts_path = os.path.join(args.output_dir, "models", "train_state.ckpt")
+    start_epoch = 1
+    if args.resume and os.path.exists(ts_path):
+        state, done_epoch = load_train_state(state, ts_path)
+        start_epoch = done_epoch + 1
+        print(f"resumed training state after epoch {done_epoch} (step {int(state.step)})")
     val_stats = []
     print("\nTRAINING PHASE\n")
-    for epoch in range(1, ts["epochs"] + 1):
+    for epoch in range(start_epoch, ts["epochs"] + 1):
         t0 = time.time()
         tot, n = 0.0, 0
         for batch in train_loader:
@@ -169,6 +177,7 @@ def run_training(args, config, tokenizer, converter, transforms):
             ckpt,
         )
         val_stats.append({"epoch": epoch, "cer": val_cer, "path": ckpt})
+        save_train_state(state, epoch, ts_path)
 
     save_val_stats(
         os.path.join(args.output_dir, "val_stats.csv"),
@@ -280,6 +289,8 @@ def get_parser():
     parser.add_argument("--profile-dir", default="", type=str,
                         help="write a jax.profiler trace of the first "
                              "inference batch to this directory")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <output-dir>/models/train_state.ckpt")
     parser.add_argument("--load-modules", nargs="+", default=["entire-e2e"], type=str)
     parser.add_argument("--freeze-modules", nargs="+", default=["no-frozen"], type=str)
     parser.add_argument("--yaml-overrides", metavar="CONF:KEY:VALUE", nargs="*")

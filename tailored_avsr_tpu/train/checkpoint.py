@@ -120,6 +120,45 @@ def freeze_mask(params: Dict[str, Any], modules: Sequence[str]):
     return {k: mask_for(k, v) for k, v in params.items()}
 
 
+def save_train_state(state, epoch: int, path: str) -> None:
+    """Full training-state checkpoint {step, params, batch_stats, opt_state,
+    epoch} for exact resume — the reference cannot resume its optimizer
+    (SURVEY.md §5.4: save_optimizer unused/broken)."""
+    import jax
+
+    payload = {
+        "epoch": epoch,
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(payload))
+
+
+def load_train_state(state, path: str):
+    """Restore (TrainState, epoch) from a save_train_state checkpoint; the
+    fresh ``state`` provides the target structure."""
+    template = {
+        "epoch": 0,
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with open(path, "rb") as f:
+        restored = flax.serialization.from_bytes(template, f.read())
+    new_state = state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+    return new_state, int(restored["epoch"])
+
+
 def save_val_stats(path: str, rows: List[Dict[str, float]]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if not rows:
