@@ -27,7 +27,6 @@ from tailored_avsr_tpu.data.transforms_audio import (
     Compose,
     SpeedRate,
 )
-from tailored_avsr_tpu.data.transforms_audio import TimeMasking as AudioTimeMasking
 from tailored_avsr_tpu.data.transforms_video import (
     CenterCrop,
     HorizontalFlip,
@@ -51,7 +50,7 @@ from tailored_avsr_tpu.train import (
     save_val_stats,
     set_optimizer,
 )
-from tailored_avsr_tpu.train.checkpoint import load_model, top_k_epochs
+from tailored_avsr_tpu.train.checkpoint import top_k_epochs
 from tailored_avsr_tpu.utils import load_config, security_checks
 
 BATCH_KEYS = {

@@ -18,7 +18,7 @@ SpecAug, exactly like the reference's DataLoader-worker transforms.
 from __future__ import annotations
 
 from fractions import Fraction
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from scipy.signal import resample_poly

@@ -9,7 +9,7 @@ HorizontalFlip(0.5), VideoSpeedRate.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -26,7 +26,6 @@ from tailored_avsr_tpu.models.ctc import CTCHead
 from tailored_avsr_tpu.ops.rnnt import rnnt_loss
 from tailored_avsr_tpu.ops.losses import (
     add_sos_eos,
-    ctc_loss as ctc_loss_fn,
     label_smoothing_loss,
     token_accuracy,
 )

@@ -23,7 +23,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import flax.linen as nn
 import jax

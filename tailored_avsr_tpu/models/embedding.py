@@ -11,8 +11,6 @@ alignment) so both streams share one positional index space
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

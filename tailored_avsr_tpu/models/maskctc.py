@@ -13,8 +13,6 @@ position, mask the ``num_mask`` smallest-scored valid positions.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 
