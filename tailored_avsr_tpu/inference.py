@@ -126,6 +126,9 @@ class Speech2Text:
         def decode(variables, *args):
             enc_out, enc_lens, _ = model.apply(variables, *args, method="encode")
             if model.joint_network is not None:
+                from tailored_avsr_tpu.decode.transducer_beam import (
+                    transducer_beam_search,
+                )
                 from tailored_avsr_tpu.ops.rnnt import transducer_greedy_decode
 
                 def pred_apply(state, label):
@@ -140,6 +143,17 @@ class Speech2Text:
                         method=lambda m, *a: m.joint_network(*a),
                     ).reshape(enc_t.shape[0], -1)
 
+                if cfg.beam_size > 1:
+                    kk = cfg.beam_size
+                    init_state = model.apply(
+                        variables, enc_out.shape[0] * kk,
+                        method=lambda m, b: m.prediction_network.initial_state(b),
+                    )
+                    res = transducer_beam_search(
+                        enc_out, enc_lens, pred_apply, joint_apply, init_state,
+                        beam_size=kk, max_symbols=enc_out.shape[1],
+                    )
+                    return res.tokens[:, 0], res.lengths[:, 0], res.scores[:, 0]
                 init_state = model.apply(
                     variables, enc_out.shape[0],
                     method=lambda m, b: m.prediction_network.initial_state(b),
