@@ -100,6 +100,13 @@ class Speech2Text:
         self.variables = self.model.init(init_rngs, *args, text, tlens)
         if self._ckpt_path:
             self.variables = load_model(self.variables, self._ckpt_path)
+        if str(getattr(self.config, "dtype", "float32")) in ("bfloat16", "bf16"):
+            self.variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.variables,
+            )
         if self.lm is not None and self.lm_variables is None:
             dummy = jnp.zeros((1, 4), jnp.int32)
             self.lm_variables = self.lm.init(self._rng, dummy, jnp.array([4]))
@@ -195,7 +202,9 @@ class Speech2Text:
                     lambda x: jnp.repeat(x, k, axis=0), mem_kv
                 )
                 mm_rep = jnp.repeat(mem_mask, k, axis=0)
-                att_state = model.decoder.init_cache(n, enc_out.shape[1])
+                att_state = model.decoder.init_cache(
+                    n, enc_out.shape[1], dtype=enc_out.dtype
+                )
 
                 def att_fn(ys, pos, cache):
                     return model.apply(

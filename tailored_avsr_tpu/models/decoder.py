@@ -282,8 +282,12 @@ class TransformerDecoder(_DecoderBase):
         for layer, (mk, mv), (ck, cv) in zip(self.layers, mem_kv, cache):
             h = layer.norm1(x)
             k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new, pos - 1, axis=2)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new, pos - 1, axis=2)
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_new.astype(ck.dtype), pos - 1, axis=2
+            )
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_new.astype(cv.dtype), pos - 1, axis=2
+            )
             x = x + layer.self_attn.attend_kv(h, ck, cv, self_mask)
             h = layer.norm2(x)
             x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)
