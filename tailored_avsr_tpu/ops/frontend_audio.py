@@ -116,3 +116,28 @@ class LogMelFrontend(nn.Module):
         logmel = jnp.log(mel)
         out_lens = stft_num_frames(lengths, self.hop_length).astype(jnp.int32)
         return logmel, out_lens
+
+
+class SlidingWindowFrontend(nn.Module):
+    """Raw-waveform sliding-window frontend (espnet ``SlidingWindow`` choice,
+    registered by the reference at src/tasks/avsr.py:81-92): frames the raw
+    samples into (B, T', win_length) feature vectors with no transform."""
+
+    win_length: int = 400
+    hop_length: int = 160
+
+    def output_size(self) -> int:
+        return self.win_length
+
+    @nn.compact
+    def __call__(self, speech: jnp.ndarray, lengths: jnp.ndarray):
+        n_frames = 1 + (speech.shape[-1] - self.win_length) // self.hop_length
+        idx = (
+            jnp.arange(n_frames, dtype=jnp.int32)[:, None] * self.hop_length
+            + jnp.arange(self.win_length, dtype=jnp.int32)[None, :]
+        )
+        frames = speech.astype(jnp.float32)[:, idx]
+        out_lens = jnp.maximum(
+            1 + (lengths - self.win_length) // self.hop_length, 0
+        ).astype(jnp.int32)
+        return frames, out_lens

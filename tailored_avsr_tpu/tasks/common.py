@@ -45,6 +45,16 @@ def build_frontend(name: Optional[str], conf: Optional[Dict]):
         return LogMelFrontend(**filter_conf(LogMelFrontend, conf))
     if name == "conv3dresnet18":
         return Conv3dResNet18(**filter_conf(Conv3dResNet18, conf))
+    if name == "sliding_window":
+        from tailored_avsr_tpu.ops.frontend_audio import SlidingWindowFrontend
+
+        return SlidingWindowFrontend(**filter_conf(SlidingWindowFrontend, conf))
+    if name in ("s3prl", "whisper", "fused"):
+        raise NotImplementedError(
+            f"frontend '{name}' needs external pretrained weights, which are "
+            "unavailable in this zero-egress build; use 'default' (log-mel), "
+            "'sliding_window', or 'conv3dresnet18'"
+        )
     raise ValueError(f"unknown frontend: {name}")
 
 

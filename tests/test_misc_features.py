@@ -102,6 +102,22 @@ def test_linear_pre_post_encoders():
     assert z.shape == (2, 7, 12)
 
 
+def test_sliding_window_frontend_and_gated_choices():
+    from tailored_avsr_tpu.ops.frontend_audio import SlidingWindowFrontend
+    from tailored_avsr_tpu.tasks.common import build_frontend
+
+    fe = SlidingWindowFrontend()
+    v = fe.init(jax.random.PRNGKey(0), jnp.zeros((2, 3200)), jnp.array([3200, 1600]))
+    out, lens = fe.apply(v, jnp.ones((2, 3200)), jnp.array([3200, 1600]))
+    assert out.shape == (2, 18, 400)
+    np.testing.assert_array_equal(np.asarray(lens), [18, 8])
+    assert build_frontend("sliding_window", {}).output_size() == 400
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        build_frontend("whisper", {})
+
+
 def test_global_mvn_stats_script(tmp_path):
     from tests.synthetic import make_synthetic_corpus
 
