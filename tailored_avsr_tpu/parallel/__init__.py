@@ -4,3 +4,7 @@ from tailored_avsr_tpu.parallel.mesh import (
     replicate,
     data_parallel_jit,
 )
+from tailored_avsr_tpu.parallel.host_data import (
+    global_batch_from_local,
+    process_batch_slice,
+)

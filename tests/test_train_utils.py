@@ -174,3 +174,26 @@ def test_lm_main_cli(tmp_path):
         "--output-dir", out,
     ])
     assert os.path.exists(os.path.join(out, "models", "model_average.ckpt"))
+
+
+def test_host_sharded_global_batch():
+    """Per-process local batch -> global batch-sharded arrays (single-process
+    degenerate case on the 8-device CPU mesh)."""
+    from tailored_avsr_tpu.parallel import (
+        global_batch_from_local,
+        make_mesh,
+        process_batch_slice,
+    )
+
+    mesh = make_mesh(8)
+    assert process_batch_slice(16) == slice(0, 16)  # single process owns all
+    local = {
+        "speech": np.arange(16 * 4, dtype=np.float32).reshape(16, 4),
+        "speech_lengths": np.full((16,), 4, np.int32),
+        "refs": ["x"] * 16,
+    }
+    g = global_batch_from_local(local, mesh)
+    assert g["speech"].shape == (16, 4)
+    assert len(g["speech"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(g["speech"]), local["speech"])
+    assert g["refs"] == local["refs"]
