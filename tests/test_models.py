@@ -340,6 +340,42 @@ def test_avsr_interctc():
     assert "loss_interctc_layer1" in stats
 
 
+def test_avsr_audiovisual_interctc_conditioning():
+    """audiovisual_interctc_conditioning=True conditions BOTH streams on the
+    fused intermediate CTC posterior (ref tailored/encoder.py:296-318)."""
+    key = jax.random.PRNGKey(21)
+    enc = TailoredEncoder(
+        output_size=D, attention_heads=4, linear_units=48,
+        cgmlp_linear_units=48, cgmlp_conv_kernel=7, num_blocks=2,
+        dropout_rate=0.0, positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        acoustic_use_attn=(True, False), visual_use_attn=(False, True),
+        interctc_layer_idx=(1,), interctc_use_conditioning=True,
+        audiovisual_interctc_conditioning=True,
+    )
+    dec = TransformerDecoder(
+        vocab_size=V, encoder_output_size=D, attention_heads=4,
+        linear_units=48, num_blocks=1, dropout_rate=0.0, positional_dropout_rate=0.0,
+    )
+    model = AVSRModel(
+        vocab_size=V, encoder=enc,
+        audiovisual_fusion=AdaptiveAudioVisualFusion(output_size=D, hidden_units=48),
+        ctc=CTCHead(V),
+        acoustic_embed=DefaultEmbeddingLayerForAVSR(
+            output_size=D, input_layer="conv2d", dropout_rate=0.0,
+            positional_dropout_rate=0.0,
+        ),
+        visual_embed=DefaultEmbeddingLayerForAVSR(
+            output_size=D, input_layer="linear", dropout_rate=0.0,
+            positional_dropout_rate=0.0,
+        ),
+        decoder=dec, ctc_weight=0.3, interctc_weight=0.5, lsm_weight=0.1,
+    )
+    batch = avsr_batch(key)
+    params = model.init(key, *batch)
+    loss, stats = model.apply(params, *batch)
+    assert np.isfinite(float(loss)) and "loss_interctc_layer1" in stats
+
+
 def test_maskctc_model():
     key = jax.random.PRNGKey(12)
     enc = small_branchformer(input_layer="conv2d")
