@@ -32,6 +32,7 @@ from tailored_avsr_tpu.decode.ctc_prefix import (
     ctc_prefix_score_step,
     ctc_prefix_select,
     neutralize_padding,
+    to_time_minor,
 )
 
 NEG_INF = -1.0e10
@@ -93,10 +94,12 @@ def beam_search(
     )  # (B,)
     minlen = jnp.floor(config.minlenratio * enc_lens).astype(jnp.int32)
 
-    logp_flat = jnp.repeat(
-        neutralize_padding(ctc_logp, enc_lens, blank_id), k, axis=0
-    )  # (N, T, V) — hypothesis i of utterance b lives at row b*k+i forever
-    ctc_state = ctc_prefix_init_state(logp_flat, blank_id)
+    # hypothesis i of utterance b lives at row b*k+i forever; time-minor
+    # (N, V, T) layout keeps the prefix DP's vector lanes full (ctc_prefix.py)
+    logp_vt = to_time_minor(
+        jnp.repeat(neutralize_padding(ctc_logp, enc_lens, blank_id), k, axis=0)
+    )
+    ctc_state = ctc_prefix_init_state(logp_vt, blank_id)
 
     ys = jnp.full((b, k, lmax + 2), eos, jnp.int32).at[:, :, 0].set(sos)
     scores = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
@@ -137,7 +140,7 @@ def beam_search(
         pre_scores, cand_ids = jax.lax.top_k(step_logp, p)  # (N, P)
         if use_ctc:
             psi, r_new = ctc_prefix_score_step(
-                logp_flat, ctc_state, cand_ids, eos, blank_id
+                logp_vt, ctc_state, cand_ids, eos, blank_id
             )
             ctc_delta = psi - ctc_state.score[:, None]
             cand_scores = pre_scores + config.ctc_weight * ctc_delta

@@ -15,7 +15,11 @@ from tailored_avsr_tpu.decode import (
     maskctc_decode,
     ctc_greedy_collapse,
 )
-from tailored_avsr_tpu.decode.ctc_prefix import neutralize_padding, ctc_prefix_select
+from tailored_avsr_tpu.decode.ctc_prefix import (
+    ctc_prefix_select,
+    neutralize_padding,
+    to_time_minor,
+)
 from tailored_avsr_tpu.decode.maskctc import _collapse_row
 
 
@@ -62,7 +66,7 @@ def test_ctc_prefix_scorer_matches_brute_force():
     raw = rng.randn(1, t, v).astype(np.float32)
     logp = np.asarray(jax.nn.log_softmax(jnp.asarray(raw), -1))
     lens = jnp.array([t])
-    neutral = neutralize_padding(jnp.asarray(logp), lens)
+    neutral = to_time_minor(neutralize_padding(jnp.asarray(logp), lens))
     state = ctc_prefix_init_state(neutral)
     cand = jnp.array([[1, 2, eos]])
     psi, r_new = ctc_prefix_score_step(neutral, state, cand, eos_id=eos)
@@ -97,11 +101,11 @@ def test_ctc_prefix_padding_neutralized():
     raw = rng.randn(1, t, v).astype(np.float32)
     logp = jax.nn.log_softmax(jnp.asarray(raw), -1)
     # truncate to 4 frames via padding-neutralization == hard truncation
-    neutral = neutralize_padding(logp, jnp.array([4]))
+    neutral = to_time_minor(neutralize_padding(logp, jnp.array([4])))
     state = ctc_prefix_init_state(neutral)
     cand = jnp.array([[1, 2, eos]])
     psi_pad, _ = ctc_prefix_score_step(neutral, state, cand, eos_id=eos)
-    short = neutralize_padding(logp[:, :4], jnp.array([4]))
+    short = to_time_minor(neutralize_padding(logp[:, :4], jnp.array([4])))
     psi_short, _ = ctc_prefix_score_step(
         short, ctc_prefix_init_state(short), cand, eos_id=eos
     )
