@@ -12,18 +12,17 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 from tailored_avsr_tpu.models.asr_model import ASRModel
-from tailored_avsr_tpu.models.branchformer import BranchformerEncoder
 from tailored_avsr_tpu.models.ctc import CTCHead
 from tailored_avsr_tpu.models.maskctc import MaskCTCModel
 from tailored_avsr_tpu.tasks.common import (
     build_decoder,
+    build_encoder,
     build_frontend,
     build_normalize,
     build_postencoder,
     build_preencoder,
     build_specaug,
     decoder_name_is_transducer,
-    filter_conf,
 )
 
 
@@ -50,29 +49,7 @@ class ASRTask:
 
         encoder_name = getattr(config, "encoder", "branchformer")
         encoder_conf = dict(getattr(config, "encoder_conf", {}) or {})
-        interctc = bool(encoder_conf.get("interctc_use_conditioning", False))
-        if encoder_name == "branchformer":
-            encoder_cls = BranchformerEncoder
-        elif encoder_name == "e_branchformer":
-            encoder_cls = BranchformerEncoder
-            encoder_conf.setdefault("merge_method", "concat")
-            encoder_conf.setdefault("merge_conv_kernel", 3)
-        elif encoder_name == "conformer":
-            from tailored_avsr_tpu.models.conformer import ConformerEncoder
-
-            encoder_cls = ConformerEncoder
-        else:
-            raise ValueError(
-                f"encoder '{encoder_name}' not implemented (choices: "
-                "branchformer, e_branchformer, conformer)"
-            )
-        encoder = encoder_cls(
-            **filter_conf(
-                encoder_cls,
-                encoder_conf,
-                vocab_size=vocab_size if interctc else None,
-            )
-        )
+        encoder = build_encoder(encoder_name, encoder_conf, vocab_size)
         encoder_size = encoder.output_size
 
         is_maskctc = model_name == "maskctc"

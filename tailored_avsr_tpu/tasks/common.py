@@ -76,6 +76,63 @@ def build_normalize(name: Optional[str], conf: Optional[Dict], feature_size: int
     raise ValueError(f"unknown normalize: {name}")
 
 
+def build_encoder(name: str, conf: Dict, vocab_size: Optional[int] = None):
+    """ASR encoder registry — parity with the reference's 15 encoder choices
+    (/root/reference/src/tasks/asr.py:145-166). External-pretrained-weight
+    encoders are gated with explicit errors (zero-egress build)."""
+    from tailored_avsr_tpu.models.branchformer import BranchformerEncoder
+
+    conf = dict(conf or {})
+    interctc = bool(conf.get("interctc_use_conditioning", False))
+    vocab = vocab_size if interctc else None
+    if name in ("branchformer", "e_branchformer"):
+        if name == "e_branchformer":
+            conf.setdefault("merge_method", "concat")
+            conf.setdefault("merge_conv_kernel", 3)
+        cls = BranchformerEncoder
+    elif name == "conformer":
+        from tailored_avsr_tpu.models.conformer import ConformerEncoder as cls
+    elif name in ("transformer", "longformer"):
+        from tailored_avsr_tpu.models import transformer_encoder as te
+
+        conf.setdefault("pos_enc_layer_type", "abs_pos")
+        conf.setdefault("attention_layer_type", "selfattn")
+        conf.setdefault("ffn_activation_type", "relu")
+        cls = te.LongformerEncoder if name == "longformer" else te.TransformerEncoder
+    elif name in ("contextual_block_transformer", "contextual_block_conformer"):
+        from tailored_avsr_tpu.models.contextual_block import ContextualBlockEncoder
+
+        conf.setdefault("pos_enc_layer_type", "abs_pos")
+        conf.setdefault("attention_layer_type", "selfattn")
+        conf.setdefault(
+            "block_layer",
+            "conformer" if name.endswith("conformer") else "transformer",
+        )
+        cls = ContextualBlockEncoder
+    elif name in ("rnn", "vgg_rnn"):
+        from tailored_avsr_tpu.models.rnn_encoder import RNNEncoder
+
+        conf.setdefault("use_vgg", name == "vgg_rnn")
+        cls = RNNEncoder
+    elif name in (
+        "wav2vec2", "hubert", "hubert_pretrain", "torchaudiohubert", "whisper",
+    ):
+        raise NotImplementedError(
+            f"encoder '{name}' needs external pretrained weights, which are "
+            "unavailable in this zero-egress build; use branchformer/"
+            "e_branchformer/conformer/transformer/longformer/"
+            "contextual_block_*/rnn/vgg_rnn"
+        )
+    elif name == "transformer_multispkr":
+        raise NotImplementedError(
+            "multi-speaker (PIT) encoder is not implemented; single-speaker "
+            "encoders cover the reference's shipped configs"
+        )
+    else:
+        raise ValueError(f"unknown encoder: {name}")
+    return cls(**filter_conf(cls, conf, vocab_size=vocab))
+
+
 def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size: int):
     from tailored_avsr_tpu.models.decoder import (
         MLMDecoder,
