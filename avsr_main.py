@@ -31,6 +31,7 @@ from tailored_avsr_tpu.data.transforms_video import (
     CenterCrop,
     HorizontalFlip,
     Normalise,
+    QuantizeUint8,
     RandomCrop,
 )
 from tailored_avsr_tpu.data.transforms_video import TimeMasking as VideoTimeMasking
@@ -205,29 +206,43 @@ def run_inference(args, config, tokenizer, converter, transforms):
         ngram_path=args.ngram_file or None,
     )
     ds = AVSRDataset(args.test_dataset, task=task, is_training=False)
-    inf_batch = int((getattr(config, "inference_conf", {}) or {}).get("batch_size", 1))
+    inf_conf = dict(getattr(config, "inference_conf", {}) or {})
+    inf_batch = int(inf_conf.get("batch_size", 1))
+    video_tf = transforms["eval_video"]
+    if bool(inf_conf.get("device_normalize", False)):
+        # keep the video uint8 through the host pipeline (crop commutes with
+        # the affine normalization) — 4x less host->device transfer; the
+        # Speech2Text jit graph applies Normalise(0,250)+Normalise(mean,std)
+        # on device (inference.py _dequantize)
+        video_tf = Compose([CenterCrop((88, 88)), QuantizeUint8()])
     loader = AVSRDataLoader(
         ds, inf_batch, task=task,
         audio_transforms=transforms["eval_audio"],
-        video_transforms=transforms["eval_video"],
+        video_transforms=video_tf,
         tokenizer=tokenizer, converter=converter, is_training=False,
     )
+    def masked_batches():
+        for batch in loader:
+            if task == "avsr" and args.mask == "audio":
+                batch["audio"] = batch["audio"] * 0.0
+            if task == "avsr" and args.mask == "video":
+                batch["video"] = batch["video"] * 0.0
+            yield batch
+
     pairs = []
     t0 = time.time()
-    profiled = not args.profile_dir
-    for batch in loader:
-        if not profiled:
-            import jax.profiler
+    profiling = bool(args.profile_dir)
+    if profiling:
+        import jax.profiler
 
-            jax.profiler.start_trace(args.profile_dir)
-        if task == "avsr" and args.mask == "audio":
-            batch["audio"] = batch["audio"] * 0.0
-        if task == "avsr" and args.mask == "video":
-            batch["video"] = batch["video"] * 0.0
-        results = s2t(batch)
-        if not profiled:
+        jax.profiler.start_trace(args.profile_dir)
+    # s2t.stream double-buffers the host->device input transfer under the
+    # decode compute (the naive per-batch loop is transfer-bound; see
+    # Speech2Text.stream)
+    for batch, results in s2t.stream(masked_batches()):
+        if profiling:  # trace covers the first (compile+decode) batch
             jax.profiler.stop_trace()
-            profiled = True
+            profiling = False
             print(f"wrote profiler trace to {args.profile_dir}")
         for ref, (text, _, _) in zip(batch["refs"], results):
             pairs.append((ref, text))

@@ -67,6 +67,35 @@ def main(dtype="float32", beam=10):
     dt = min(times)
     print(
         f"speech2text beam{beam} {dtype} (device-resident): {dt * 1e3:.0f} ms/batch "
+        f"({audio_s / dt:.0f}x RT per chip)", flush=True
+    )
+    # pipelined stream: host batches, threaded H2D overlapped with decode
+    nb = 6
+    host_batches = [
+        {k: (v + 1e-6 * i if k == "audio" else v) for k, v in batch.items()}
+        for i in range(nb)
+    ]
+    t0 = time.perf_counter()
+    n = sum(1 for _ in s2t.stream(iter(host_batches)))
+    dt = (time.perf_counter() - t0) / n
+    print(
+        f"speech2text beam{beam} {dtype} (streamed f32 x{n}): {dt * 1e3:.0f} ms/batch "
+        f"({audio_s / dt:.0f}x RT per chip)", flush=True
+    )
+    # quantized inputs (uint8 video / int16 audio), device-side normalization
+    s2t.quantize_audio = True
+    q_batches = []
+    for i in range(nb):
+        qb = dict(batch)
+        qb["audio"] = batch["audio"] + 1e-6 * i
+        qb["video"] = np.clip(batch["video"] * 40 + 120, 0, 255).astype(np.uint8)
+        q_batches.append(qb)
+    next(iter(s2t.stream([dict(q_batches[0])])))  # compile the uint8 graph
+    t0 = time.perf_counter()
+    n = sum(1 for _ in s2t.stream(iter(q_batches)))
+    dt = (time.perf_counter() - t0) / n
+    print(
+        f"speech2text beam{beam} {dtype} (streamed u8/i16 x{n}): {dt * 1e3:.0f} ms/batch "
         f"({audio_s / dt:.0f}x RT per chip)"
     )
 

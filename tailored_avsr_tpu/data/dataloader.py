@@ -112,10 +112,13 @@ class AVSRDataLoader:
                 v = s["video"]
                 if self.video_transforms is not None:
                     v = self.video_transforms(v)
-                vids.append(v.astype(np.float32))
+                # uint8 passes through untouched (device-side normalization
+                # path: 4x less host->device transfer; see inference.py)
+                vids.append(v if v.dtype == np.uint8 else v.astype(np.float32))
             vmax = round_up(max(v.shape[0] for v in vids), self.bucket_frames)
+            pad = 0.0 if vids[0].dtype == np.uint8 else float(self.ignore_id)
             return (
-                pad_batch(vids, float(self.ignore_id), vmax),
+                pad_batch(vids, pad, vmax),
                 np.asarray([v.shape[0] for v in vids], np.int32),
             )
 

@@ -37,6 +37,17 @@ class CenterCrop:
         return x[..., y0 : y0 + ch, x0 : x0 + cw]
 
 
+class QuantizeUint8:
+    """Cast raw-intensity video (values 0..255) to uint8 for the
+    device-normalize inference path (4x less host->device transfer;
+    tailored_avsr_tpu/inference.py dequantizes on device). No-op on uint8."""
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        if x.dtype == np.uint8:
+            return x
+        return np.clip(np.rint(x), 0, 255).astype(np.uint8)
+
+
 class RandomCrop:
     def __init__(self, size: Tuple[int, int] = (88, 88), rng=None):
         self.size = size

@@ -8,8 +8,9 @@ exactly one symbol — blank (advance one encoder frame) or a token (stay on the
 frame, grow the label prefix) — so the whole search is a fixed
 ``T + max_symbols`` iteration ``lax.fori_loop`` over (B, K) tensorized beams.
 Hypotheses that consume all frames migrate to a finished buffer via top-k
-merge. Prefix merging (logaddexp of equivalent hypotheses) is omitted — a
-documented approximation; scores are exact per alignment.
+merge. Equal label-prefixes at the same encoder frame are merged each step
+(logaddexp into the lowest-index beam row, duplicates retired) — the
+tensorized analogue of espnet's prefix-alpha recombination.
 """
 
 from __future__ import annotations
@@ -138,6 +139,34 @@ def transducer_beam_search(
         fin_scores = best
         # finished hyps leave the alive beam
         alive_scores = jnp.where(done, NEG_INF, top_sc.reshape(n)).reshape(b, k)
+
+        # ---- prefix merging: hypotheses with the same label prefix at the
+        # same encoder frame are the SAME hypothesis (their prediction-network
+        # states are identical, being functions of the token history); merge
+        # their path probabilities with logaddexp into the lowest-index row
+        # and retire the duplicates (espnet BeamSearchTransducer's
+        # prefix-alpha behavior, tensorized as a (K, K) equality matrix)
+        tk = new_tokens.reshape(b, k, lmax)
+        ln = new_lens.reshape(b, k)
+        tx = new_t.reshape(b, k)
+        okay = alive_scores > NEG_INF / 2  # (B, K)
+        pos_valid = jnp.arange(lmax)[None, None, :] < ln[:, :, None]
+        tok_cmp = jnp.where(pos_valid, tk, -1)
+        eq = (
+            (ln[:, :, None] == ln[:, None, :])
+            & (tx[:, :, None] == tx[:, None, :])
+            & jnp.all(tok_cmp[:, :, None, :] == tok_cmp[:, None, :, :], axis=-1)
+            & okay[:, :, None]
+            & okay[:, None, :]
+        )  # (B, K, K)
+        first_in_group = jnp.argmax(eq, axis=-1)  # lowest j with eq[i, j]
+        merged = jax.nn.logsumexp(
+            jnp.where(eq, alive_scores[:, None, :], NEG_INF), axis=-1
+        )
+        is_canonical = first_in_group == jnp.arange(k)[None, :]
+        alive_scores = jnp.where(
+            okay, jnp.where(is_canonical, merged, NEG_INF), alive_scores
+        )
 
         return (
             new_tokens.reshape(b, k, lmax), new_lens.reshape(b, k), alive_scores,

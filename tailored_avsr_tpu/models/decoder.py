@@ -137,6 +137,92 @@ class SimTDecoderLayer(nn.Module):
         return x, s1
 
 
+class ConvDecoderLayer(nn.Module):
+    """Lightweight/dynamic-convolution decoder layer (Wu et al., ICLR 2019).
+
+    Capability parity with espnet's ``LightweightConvolutionTransformerDecoder``
+    / ``DynamicConvolutionTransformerDecoder`` choices registered by the
+    reference (/root/reference/src/tasks/asr.py:176-194): the causal
+    self-attention sub-block is replaced by a causal depthwise convolution
+    whose kernel weights are softmax-normalized and shared across ``heads``
+    channel groups; 'dynamic' predicts the kernel per position from the
+    current feature. Cross-attention and FFN are unchanged.
+    """
+
+    size: int
+    attention_heads: int = 4
+    linear_units: int = 2048
+    kernel_size: int = 11
+    dynamic: bool = False
+    src_attention_dropout_rate: float = 0.0
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        self.glu_proj = nn.Dense(2 * self.size, name="glu_proj")
+        if self.dynamic:
+            self.weight_proj = nn.Dense(
+                self.attention_heads * self.kernel_size, name="weight_proj"
+            )
+        else:
+            self.conv_weight = self.param(
+                "conv_weight",
+                nn.initializers.lecun_normal(),
+                (self.attention_heads, self.kernel_size),
+            )
+        self.out_proj = nn.Dense(self.size, name="out_proj")
+        self.src_attn = MultiHeadedAttention(
+            self.attention_heads, self.src_attention_dropout_rate, self.size,
+            name="src_attn",
+        )
+        self.feed_forward = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, "relu", name="feed_forward"
+        )
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.norm3 = nn.LayerNorm()
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _conv(self, h: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        b, t, d = h.shape
+        hh, k = self.attention_heads, self.kernel_size
+        x = self.glu_proj(h)
+        x = x[..., :d] * nn.sigmoid(x[..., d:])  # GLU
+        # causal left-pad, unfold k taps: (B, T, k, D)
+        xp = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
+        taps = jnp.stack([xp[:, i : i + t] for i in range(k)], axis=2)
+        if self.dynamic:
+            w = self.weight_proj(x).reshape(b, t, hh, k)  # per-position kernels
+            w = jax.nn.softmax(w, axis=-1)
+            w = jnp.repeat(w, d // hh, axis=2)  # (B, T, D, k) per channel group
+            y = jnp.einsum("btkd,btdk->btd", taps, w)
+        else:
+            w = jax.nn.softmax(self.conv_weight, axis=-1)  # (H, k)
+            w = jnp.repeat(w, d // hh, axis=0)  # (D, k)
+            y = jnp.einsum("btkd,dk->btd", taps, w)
+        return self.out_proj(y)
+
+    def __call__(self, tgt, tgt_mask, memory, memory_mask, *, deterministic=True):
+        # the conv taps look strictly left (causal pad), so padded positions
+        # (always to the right) can never leak into valid outputs — no query
+        # masking needed; tgt_mask only matters for attention-based layers
+        del tgt_mask
+        h = self.norm1(tgt)
+        tgt = tgt + self.dropout(
+            self._conv(h, deterministic), deterministic=deterministic
+        )
+        h = self.norm2(tgt)
+        tgt = tgt + self.dropout(
+            self.src_attn(h, memory, memory, memory_mask, deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        h = self.norm3(tgt)
+        tgt = tgt + self.dropout(
+            self.feed_forward(h, deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        return tgt
+
+
 class _DecoderBase(nn.Module):
     vocab_size: int
     encoder_output_size: int = 256
@@ -148,13 +234,32 @@ class _DecoderBase(nn.Module):
     self_attention_dropout_rate: float = 0.0
     src_attention_dropout_rate: float = 0.0
     use_output_layer: bool = True
-    layer_variant: str = "transformer"  # 'transformer' | 'sim_t'
+    layer_variant: str = "transformer"  # 'transformer'|'sim_t'|'lightconv'|'dynamicconv'
+    conv_kernel_length: object = 11  # int or per-layer tuple (conv variants)
+
+    def _kernel(self, i: int) -> int:
+        k = self.conv_kernel_length
+        return int(k) if isinstance(k, int) else int(k[i])
 
     def setup(self):
         d = self.encoder_output_size
         self.embed_tok = nn.Embed(self.vocab_size, d, name="embed_tok")
         self.pos_enc = AbsolutePositionalEncoding(self.positional_dropout_rate)
-        if self.layer_variant == "sim_t":
+        if self.layer_variant in ("lightconv", "dynamicconv"):
+            self.layers = [
+                ConvDecoderLayer(
+                    size=d,
+                    attention_heads=self.attention_heads,
+                    linear_units=self.linear_units,
+                    kernel_size=self._kernel(i),
+                    dynamic=self.layer_variant == "dynamicconv",
+                    src_attention_dropout_rate=self.src_attention_dropout_rate,
+                    dropout_rate=self.dropout_rate,
+                    name=f"layer_{i}",
+                )
+                for i in range(self.num_blocks)
+            ]
+        elif self.layer_variant == "sim_t":
             self.layers = [
                 SimTDecoderLayer(
                     size=d,
@@ -329,3 +434,15 @@ class SimTMLMDecoder(MLMDecoder):
     (/root/reference/src/decoder/sim_t/mlm_decoder.py)."""
 
     layer_variant: str = "sim_t"
+
+
+class LightConvDecoder(TransformerDecoder):
+    """AR decoder with causal lightweight-convolution self-blocks."""
+
+    layer_variant: str = "lightconv"
+
+
+class DynamicConvDecoder(TransformerDecoder):
+    """AR decoder with causal dynamic-convolution self-blocks."""
+
+    layer_variant: str = "dynamicconv"

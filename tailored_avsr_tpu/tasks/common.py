@@ -135,6 +135,8 @@ def build_encoder(name: str, conf: Dict, vocab_size: Optional[int] = None):
 
 def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size: int):
     from tailored_avsr_tpu.models.decoder import (
+        DynamicConvDecoder,
+        LightConvDecoder,
         MLMDecoder,
         SimTDecoder,
         SimTMLMDecoder,
@@ -147,7 +149,32 @@ def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size
         "simt": SimTDecoder,
         "mlm": MLMDecoder,
         "sim_t_mlm": SimTMLMDecoder,
+        "lightweight_conv": LightConvDecoder,
+        "dynamic_conv": DynamicConvDecoder,
     }
+    if name == "rnn":
+        from tailored_avsr_tpu.models.rnn_decoder import RNNDecoder
+
+        return RNNDecoder(
+            **filter_conf(
+                RNNDecoder, conf, vocab_size=vocab_size,
+                encoder_output_size=encoder_size,
+            )
+        )
+    if name in ("lightweight_conv2d", "dynamic_conv2d"):
+        raise NotImplementedError(
+            f"decoder '{name}' (2D conv over time x feature) is not "
+            "implemented; use the 1D variants 'lightweight_conv'/'dynamic_conv'"
+        )
+    if name in ("whisper", "hugging_face_transformers"):
+        raise NotImplementedError(
+            f"decoder '{name}' needs external pretrained weights, which are "
+            "unavailable in this zero-egress build"
+        )
+    if name == "s4":
+        raise NotImplementedError(
+            "decoder 's4' (structured state-space) is not implemented"
+        )
     if name not in table:
         raise ValueError(f"unknown decoder: {name}")
     cls = table[name]

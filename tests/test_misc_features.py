@@ -130,3 +130,73 @@ def test_global_mvn_stats_script(tmp_path):
     gm.main(["--dataset", csv_path, "--output", out])
     stats = np.load(out)
     assert stats["mean"].shape == (80,) and (stats["std"] > 0).all()
+
+
+def test_device_normalize_inference_path(tmp_path):
+    """uint8-video / int16-audio inference: _dequantize matches the host
+    Normalise chain; stream() equals sequential __call__; CLI artifacts OK."""
+    import types
+    import jax.numpy as jnp
+    from tailored_avsr_tpu.inference import Speech2Text
+
+    cfg = types.SimpleNamespace(
+        task="avsr",
+        token_list=None,  # set below
+        acoustic_frontend="default",
+        acoustic_frontend_conf={"n_fft": 512, "win_length": 400,
+                                "hop_length": 160, "n_mels": 20},
+        visual_frontend="conv3dresnet18",
+        visual_frontend_conf={},
+        encoder="tailored",
+        encoder_conf={
+            "output_size": 32, "attention_heads": 4, "linear_units": 48,
+            "cgmlp_linear_units": 48, "cgmlp_conv_kernel": 7, "num_blocks": 2,
+            "dropout_rate": 0.0, "acoustic_use_attn": [True, False],
+            "visual_use_attn": [False, True],
+        },
+        audiovisual_fusion="adaptive",
+        audiovisual_fusion_conf={"output_size": 32, "hidden_units": 48},
+        acoustic_embed="default", acoustic_embed_conf={"input_layer": "conv2d"},
+        visual_embed="default", visual_embed_conf={"input_layer": "linear"},
+        decoder="transformer",
+        decoder_conf={"attention_heads": 4, "linear_units": 48,
+                      "num_blocks": 1, "dropout_rate": 0.0},
+        model="espnet", model_conf={"ctc_weight": 0.3},
+        inference_conf={"beam_size": 2, "ctc_weight": 0.3,
+                        "device_normalize": True,
+                        "video_mean": 0.421, "video_std": 0.165},
+    )
+    import os
+    tok = tmp_path / "tokens.txt"
+    tok.write_text("\n".join(["<blank>", "<unk>"] +
+                              [chr(65 + i) for i in range(6)] + ["<sos/eos>"]))
+    cfg.token_list = str(tok)
+    s2t = Speech2Text(cfg)
+
+    rng = np.random.RandomState(0)
+    B, S, F = 2, 640 * 8, 8
+    vid_u8 = (rng.rand(B, F, 88, 88) * 250).astype(np.uint8)
+    audio = (rng.randn(B, S) * 0.1).astype(np.float32)
+    batch = {
+        "audio": audio, "audio_lengths": np.full((B,), S, np.int32),
+        "video": vid_u8, "video_lengths": np.full((B,), F, np.int32),
+        "text": np.ones((B, 4), np.int32),
+        "text_lengths": np.full((B,), 4, np.int32),
+    }
+    # _dequantize matches the host transform chain
+    deq = s2t._dequantize((jnp.asarray(audio), jnp.asarray(batch["audio_lengths"]),
+                           jnp.asarray(vid_u8), jnp.asarray(batch["video_lengths"])))
+    want = (vid_u8.astype(np.float32) / 250.0 - 0.421) / 0.165
+    np.testing.assert_allclose(np.asarray(deq[2]), want, rtol=1e-5)
+    # int16 audio dequantizes to /32768
+    a16 = np.clip(audio * 32768, -32768, 32767).astype(np.int16)
+    deq16 = s2t._dequantize((jnp.asarray(a16), jnp.asarray(batch["audio_lengths"]),
+                             jnp.asarray(vid_u8), jnp.asarray(batch["video_lengths"])))
+    np.testing.assert_allclose(np.asarray(deq16[0]), a16.astype(np.float32) / 32768.0)
+
+    # decode works on the quantized batch; stream == sequential
+    res_seq = s2t(s2t.device_put_batch(batch))
+    streamed = list(s2t.stream([dict(batch), dict(batch)]))
+    assert len(streamed) == 2
+    for _, res in streamed:
+        assert [r[0] for r in res] == [r[0] for r in res_seq]

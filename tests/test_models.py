@@ -434,3 +434,67 @@ def test_decoder_score_step_matches_forward():
     full_lp = jax.nn.log_softmax(logits[:, 2].astype(jnp.float32), -1)
     step_lp = dec.apply(params, mem, mem_mask, ys, jnp.array(3), method="score_step")
     np.testing.assert_allclose(np.asarray(step_lp), np.asarray(full_lp), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# decoder registry breadth: lightweight/dynamic conv + RNN attention decoder
+# (reference choices at src/tasks/asr.py:176-194)
+# ---------------------------------------------------------------------------
+from tailored_avsr_tpu.tasks.common import build_decoder  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name,conf",
+    [
+        ("lightweight_conv", {"kernel_size": 3}),
+        ("dynamic_conv", {"kernel_size": 3}),
+        ("rnn", {"hidden_size": 16, "num_layers": 2, "att_dim": 12,
+                 "aconv_chans": 4, "aconv_filts": 3}),
+    ],
+)
+def test_registry_decoders(name, conf):
+    key = jax.random.PRNGKey(7)
+    B, T, D2, V2, L = 2, 9, 16, 11, 6
+    mem = jax.random.normal(key, (B, T, D2))
+    mmask = jnp.arange(T)[None, :] < jnp.array([T, 5])[:, None]
+    ys = jnp.array([[9, 2, 3, 4, 10, 10], [9, 5, 6, 10, 10, 10]], jnp.int32)
+    ylen = jnp.array([5, 4])
+    conf = dict(conf, num_blocks=2, attention_heads=4, linear_units=24,
+                dropout_rate=0.0)
+    dec = build_decoder(name, conf, V2, D2)
+    params = dec.init(key, mem, mmask, ys, ylen)
+    out = dec.apply(params, mem, mmask, ys, ylen)
+    assert out.shape == (B, L, V2)
+    lp = dec.apply(params, mem, mmask, ys, jnp.asarray(3), method="score_step")
+    assert np.allclose(np.exp(np.asarray(lp)).sum(-1), 1, atol=1e-4)
+    # causality: a future token must not change the score at pos
+    lp2 = dec.apply(
+        params, mem, mmask, ys.at[:, 4].set(2), jnp.asarray(3), method="score_step"
+    )
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
+
+
+def test_gated_decoders():
+    for name in ("lightweight_conv2d", "dynamic_conv2d", "whisper",
+                  "hugging_face_transformers", "s4"):
+        with pytest.raises(NotImplementedError):
+            build_decoder(name, {}, 11, 16)
+
+
+def test_asr_model_with_rnn_decoder():
+    """Hybrid CTC/attention ASR with the RNN decoder end to end (loss + beam
+    scoring path via decoder_score_step)."""
+    key = jax.random.PRNGKey(8)
+    enc = small_branchformer(input_layer="conv2d")
+    dec = build_decoder(
+        "rnn", {"hidden_size": 16, "num_layers": 1, "att_dim": 12,
+                "aconv_chans": 2, "aconv_filts": 3, "dropout_rate": 0.0}, V, D)
+    model = ASRModel(vocab_size=V, encoder=enc, ctc=CTCHead(V), decoder=dec,
+                     ctc_weight=0.3, lsm_weight=0.1)
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    params = model.init(key, feats, flens, text, tlens)
+    loss, stats = model.apply(params, feats, flens, text, tlens)
+    assert np.isfinite(float(loss))
