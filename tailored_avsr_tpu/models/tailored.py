@@ -117,14 +117,8 @@ class TailoredEncoderLayer(nn.Module):
         self.visual_branch = self._make_branch(self.visual_use_attn, "visual")
         self.visual_norm = nn.LayerNorm()
 
-    def _stream(self, x, pos_emb, mask, use_attn, branch, branch_norm, coeff, deterministic):
-        if self.macaron:
-            x = x + 0.5 * self.dropout(
-                self.feed_forward_macaron(
-                    self.norm_ff_macaron(x), deterministic=deterministic
-                ),
-                deterministic=deterministic,
-            )
+    def _branch(self, x, pos_emb, mask, use_attn, branch, branch_norm, coeff,
+                deterministic):
         residual = x
         h = branch_norm(x)
         if use_attn:
@@ -136,12 +130,18 @@ class TailoredEncoderLayer(nn.Module):
                 h = branch(h, h, h, mask, deterministic=deterministic)
         else:
             h = branch(h, mask, deterministic=deterministic)
-        x = residual + coeff * self.dropout(h, deterministic=deterministic)
+        return residual + coeff * self.dropout(h, deterministic=deterministic)
+
+    def _shared_ffn(self, ffn, norm, a, v, deterministic):
+        """Apply a modality-SHARED FFN to the stacked [audio; video] batch:
+        one 2B-row GEMM pair instead of two B-row ones (half the op count;
+        the weights are shared by construction, encoder_layer.py:84-108)."""
+        b = a.shape[0]
+        x = jnp.concatenate([a, v], axis=0)
         x = x + 0.5 * self.dropout(
-            self.feed_forward(self.norm_ff(x), deterministic=deterministic),
-            deterministic=deterministic,
+            ffn(norm(x), deterministic=deterministic), deterministic=deterministic
         )
-        return self.norm_final(x)
+        return x[:b], x[b:]
 
     def __call__(
         self,
@@ -158,16 +158,54 @@ class TailoredEncoderLayer(nn.Module):
         coeff = 1.0 if deterministic or self.stochastic_depth_rate == 0 else 1.0 / (
             1.0 - self.stochastic_depth_rate
         )
-        a = self._stream(
-            audio, audio_pos_emb, audio_mask,
+        # streams are length-aligned by the AVSR model (avsr_model.py), so the
+        # shared-weight FFN sub-blocks run on the stacked 2B batch; only the
+        # per-modality branches (separate weights) run per stream
+        stack = audio.shape == video.shape
+        a, v = audio, video
+        if self.macaron:
+            if stack:
+                a, v = self._shared_ffn(
+                    self.feed_forward_macaron, self.norm_ff_macaron, a, v,
+                    deterministic,
+                )
+            else:
+                a = a + 0.5 * self.dropout(
+                    self.feed_forward_macaron(
+                        self.norm_ff_macaron(a), deterministic=deterministic
+                    ), deterministic=deterministic)
+                v = v + 0.5 * self.dropout(
+                    self.feed_forward_macaron(
+                        self.norm_ff_macaron(v), deterministic=deterministic
+                    ), deterministic=deterministic)
+        a = self._branch(
+            a, audio_pos_emb, audio_mask,
             self.acoustic_use_attn, self.acoustic_branch, self.acoustic_norm,
             coeff, deterministic,
         )
-        v = self._stream(
-            video, video_pos_emb, video_mask,
+        v = self._branch(
+            v, video_pos_emb, video_mask,
             self.visual_use_attn, self.visual_branch, self.visual_norm,
             coeff, deterministic,
         )
+        if stack:
+            a, v = self._shared_ffn(
+                self.feed_forward, self.norm_ff, a, v, deterministic
+            )
+            b = a.shape[0]
+            av = self.norm_final(jnp.concatenate([a, v], axis=0))
+            a, v = av[:b], av[b:]
+        else:
+            a = self.norm_final(
+                a + 0.5 * self.dropout(
+                    self.feed_forward(self.norm_ff(a), deterministic=deterministic),
+                    deterministic=deterministic)
+            )
+            v = self.norm_final(
+                v + 0.5 * self.dropout(
+                    self.feed_forward(self.norm_ff(v), deterministic=deterministic),
+                    deterministic=deterministic)
+            )
         a = jnp.where(skip, audio, a)
         v = jnp.where(skip, video, v)
         return a, v

@@ -98,6 +98,12 @@ class ASRTask:
             getattr(config, "postencoder", None),
             getattr(config, "postencoder_conf", {}),
         )
+        if model_name == "pit_espnet":
+            raise NotImplementedError(
+                "model 'pit_espnet' (multi-speaker permutation-invariant "
+                "training) is not implemented; 'espnet' and 'maskctc' cover "
+                "the reference's shipped configs"
+            )
         model_cls = {"espnet": ASRModel, "maskctc": MaskCTCModel}[model_name]
         return model_cls(
             vocab_size=vocab_size,
