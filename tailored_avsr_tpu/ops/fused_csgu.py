@@ -47,6 +47,29 @@ def _csgu_kernel(
     o_ref[0] = (x_r_ref[0].astype(jnp.float32) * gate).astype(o_ref.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _csgu_call(b: int, tpad: int, c: int, k: int, t: int, dtype, interpret: bool):
+    """Memoized pallas_call instance: every layer with the same shapes shares
+    ONE kernel closure, so tracing produces identical primitive params and the
+    lowered Mosaic payloads are byte-identical across call sites — a
+    prerequisite for compile-cache hits (the flagship has 24 cgMLP sites)."""
+    return pl.pallas_call(
+        functools.partial(_csgu_kernel, kernel_size=k, t=t),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, tpad, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, tpad, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, k, c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tpad, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, tpad, c), dtype),
+        interpret=interpret,
+    )
+
+
 def fused_csgu(
     x: jnp.ndarray,  # (B, T, U) — the channel_proj1+GELU output
     gamma: jnp.ndarray,  # (U/2,) LN scale
@@ -66,19 +89,6 @@ def fused_csgu(
         x_r = jnp.pad(x_r, ((0, 0), (0, tpad - t), (0, 0)))
         x_g = jnp.pad(x_g, ((0, 0), (0, tpad - t), (0, 0)))
     w = conv_w[:, 0, :][None]  # (1, k, C)
-    out = pl.pallas_call(
-        functools.partial(_csgu_kernel, kernel_size=k, t=t),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, tpad, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, tpad, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, k, c), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, tpad, c), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, tpad, c), x.dtype),
-        interpret=interpret,
-    )(x_r, x_g, gamma[None], beta[None], w, conv_b[None])
+    call = _csgu_call(b, tpad, c, k, t, jnp.dtype(x.dtype), interpret)
+    out = call(x_r, x_g, gamma[None], beta[None], w, conv_b[None])
     return out[:, :t, :]
