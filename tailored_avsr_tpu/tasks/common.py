@@ -206,4 +206,10 @@ def build_postencoder(name, conf):
         from tailored_avsr_tpu.models.prepostencoder import LinearPostencoder
 
         return LinearPostencoder(**filter_conf(LinearPostencoder, conf))
+    if name == "hugging_face_transformers":
+        raise NotImplementedError(
+            "postencoder 'hugging_face_transformers' needs external "
+            "pretrained weights, which are unavailable in this zero-egress "
+            "build; use 'linear'"
+        )
     raise ValueError(f"unknown postencoder: {name}")
