@@ -172,8 +172,13 @@ def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size
             "unavailable in this zero-egress build"
         )
     if name == "s4":
-        raise NotImplementedError(
-            "decoder 's4' (structured state-space) is not implemented"
+        from tailored_avsr_tpu.models.s4_decoder import S4Decoder
+
+        return S4Decoder(
+            **filter_conf(
+                S4Decoder, conf, vocab_size=vocab_size,
+                encoder_output_size=encoder_size,
+            )
         )
     if name not in table:
         raise ValueError(f"unknown decoder: {name}")

@@ -450,6 +450,7 @@ from tailored_avsr_tpu.tasks.common import build_decoder  # noqa: E402
         ("dynamic_conv", {"kernel_size": 3}),
         ("rnn", {"hidden_size": 16, "num_layers": 2, "att_dim": 12,
                  "aconv_chans": 4, "aconv_filts": 3}),
+        ("s4", {"d_state": 8}),
     ],
 )
 def test_registry_decoders(name, conf):
@@ -476,7 +477,7 @@ def test_registry_decoders(name, conf):
 
 def test_gated_decoders():
     for name in ("lightweight_conv2d", "dynamic_conv2d", "whisper",
-                  "hugging_face_transformers", "s4"):
+                  "hugging_face_transformers"):
         with pytest.raises(NotImplementedError):
             build_decoder(name, {}, 11, 16)
 
@@ -498,3 +499,35 @@ def test_asr_model_with_rnn_decoder():
     params = model.init(key, feats, flens, text, tlens)
     loss, stats = model.apply(params, feats, flens, text, tlens)
     assert np.isfinite(float(loss))
+
+
+def test_s4d_layer_matches_explicit_recurrence():
+    """The Vandermonde-kernel causal conv equals the sequential diagonal-SSM
+    recurrence h_k = Abar h_{k-1} + Bbar u_k, y = 2Re(C h) + D u (S4D)."""
+    import math
+    from tailored_avsr_tpu.models.s4_decoder import S4DLayer
+
+    B, T, C2, N2 = 2, 12, 8, 16
+    key = jax.random.PRNGKey(3)
+    u = jax.random.normal(key, (B, T, C2))
+    layer = S4DLayer(d_state=N2)
+    params = layer.init(key, u)
+    y = np.asarray(layer.apply(params, u), np.float64)
+
+    pr = params["params"]
+    dt = np.exp(np.asarray(pr["log_dt"], np.float64))[:, None]
+    a = -np.exp(np.asarray(pr["log_A_real"], np.float64)) + 1j * np.asarray(
+        pr["A_imag"], np.float64)
+    a_bar = np.exp(dt * a)
+    b_bar = (a_bar - 1.0) / a
+    cc = np.asarray(pr["C_re"], np.float64) + 1j * np.asarray(pr["C_im"], np.float64)
+    d_skip = np.asarray(pr["D"], np.float64)
+    un = np.asarray(u, np.float64)
+    y_ref = np.zeros((B, T, C2))
+    for b in range(B):
+        h = np.zeros((C2, N2), complex)
+        for t in range(T):
+            h = a_bar * h + b_bar * un[b, t][:, None]
+            y_ref[b, t] = 2 * np.real(np.sum(cc * h, -1)) + d_skip * un[b, t]
+    y_ref = y_ref / (1 + np.exp(-y_ref))  # silu
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
