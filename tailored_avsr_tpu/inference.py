@@ -222,6 +222,14 @@ class Speech2Text:
             use_cache = (
                 getattr(model.decoder, "layer_variant", None) == "transformer"
             )
+            ngram, ngram_w = self.ngram, self.ngram_weight
+            att_w = 1.0 - cfg.ctc_weight
+            # fold the LM into the decoder's stateful scorer so its KV cache
+            # rides in att_state (otherwise the 16-layer LM is a full-prefix
+            # recompute per step — far costlier than the ASR decoder)
+            fold_lm = (
+                use_cache and lm is not None and cfg.lm_weight > 0 and att_w > 0
+            )
             if use_cache:
                 # KV-cache fast path: cross-attn K/V once, O(1) per step
                 mem_kv = model.apply(
@@ -232,15 +240,41 @@ class Speech2Text:
                     lambda x: jnp.repeat(x, k, axis=0), mem_kv
                 )
                 mm_rep = jnp.repeat(mem_mask, k, axis=0)
-                att_state = model.decoder.init_cache(
+                dec_cache = model.decoder.init_cache(
                     n, enc_out.shape[1], dtype=enc_out.dtype
                 )
-
-                def att_fn(ys, pos, cache):
-                    return model.apply(
-                        variables, mem_kv, mm_rep, ys, pos, cache,
-                        method=lambda m, *a: m.decoder.score_step_cached(*a),
+                if fold_lm:
+                    lm_cache = lm.apply(
+                        lm_vars, n, enc_out.shape[1] + 2,
+                        method=lambda m, *a: m.init_cache(*a),
                     )
+                    att_state = {"dec": dec_cache, "lm": lm_cache}
+                    lm_scale = cfg.lm_weight / att_w
+
+                    def att_fn(ys, pos, state):
+                        dec_lp, dec_c = model.apply(
+                            variables, mem_kv, mm_rep, ys, pos, state["dec"],
+                            method=lambda m, *a: m.decoder.score_step_cached(*a),
+                        )
+                        lm_lp, lm_c = lm.apply(
+                            lm_vars, ys, pos, state["lm"],
+                            method="score_step_cached",
+                        )
+                        if ngram is not None and ngram_w > 0:
+                            lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
+                                ngram.score_step(ys, pos)
+                            )
+                        return dec_lp + lm_scale * lm_lp, {
+                            "dec": dec_c, "lm": lm_c,
+                        }
+                else:
+                    att_state = dec_cache
+
+                    def att_fn(ys, pos, cache):
+                        return model.apply(
+                            variables, mem_kv, mm_rep, ys, pos, cache,
+                            method=lambda m, *a: m.decoder.score_step_cached(*a),
+                        )
             else:
                 att_state = None
 
@@ -253,8 +287,7 @@ class Speech2Text:
                     )
 
             lm_fn = None
-            ngram, ngram_w = self.ngram, self.ngram_weight
-            if lm is not None and cfg.lm_weight > 0:
+            if lm is not None and cfg.lm_weight > 0 and not fold_lm:
                 def lm_fn(ys, pos):  # noqa: E306
                     out = lm.apply(lm_vars, ys, pos, method="score_step")
                     if ngram is not None:

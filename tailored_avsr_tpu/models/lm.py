@@ -100,6 +100,52 @@ class TransformerLM(nn.Module):
         ).squeeze(1)
         return jax.nn.log_softmax(step.astype(jnp.float32), axis=-1)
 
+    # ---- KV-cache fast path (jitted beam-search shallow fusion) ------------
+    # Mirrors TransformerDecoder.score_step_cached: without it, fusing the
+    # 16-layer LM costs a full-prefix recompute per beam step (~1 TFLOP/step
+    # at beam dims), dwarfing the ASR decoder itself.
+
+    def init_cache(self, n: int, max_len: int, dtype=jnp.float32):
+        d, h = self.att_unit, self.head
+        dk = d // h
+        return [
+            (
+                jnp.zeros((n, h, max_len, dk), dtype),
+                jnp.zeros((n, h, max_len, dk), dtype),
+            )
+            for _ in range(self.layer)
+        ]
+
+    def score_step_cached(self, ys: jnp.ndarray, pos: jnp.ndarray, cache):
+        """Returns ((N, V) log-probs of the token at ``pos``, updated cache)."""
+        n, l = ys.shape
+        lc = cache[0][0].shape[2]
+        tok = jnp.take_along_axis(
+            ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
+        )  # (N, 1)
+        x = self.embed_tok(tok)
+        x = self.pos_enc.at_position(x, pos - 1, lc)
+        self_mask = (jnp.arange(lc)[None, :] < pos).repeat(n, 0)  # (N, Lc)
+        new_cache = []
+        for layer, (ck, cv) in zip(self.layers, cache):
+            h = layer.norm1(x)
+            k_new, v_new = layer.self_attn.project_kv(h)
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_new.astype(ck.dtype), pos - 1, axis=2
+            )
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_new.astype(cv.dtype), pos - 1, axis=2
+            )
+            x = x + layer.self_attn.attend_kv(h, ck, cv, self_mask)
+            h = layer.norm2(x)
+            x = x + layer.feed_forward(h, deterministic=True)
+            new_cache.append((ck, cv))
+        logits = self.output_layer(self.after_norm(x))
+        return (
+            jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1),
+            new_cache,
+        )
+
     def nll(self, tokens, lengths):
         """Per-utterance NLL for perplexity (lm_main.py:45-57). Input tokens are
         <sos/eos>-free; we wrap with sos/eos internally like espnet LM."""

@@ -80,3 +80,77 @@ def test_cached_beam_search_matches_recompute():
     np.testing.assert_allclose(
         np.asarray(res_full.scores), np.asarray(res_cached.scores), atol=1e-4
     )
+
+
+def test_lm_cached_scoring_matches_full_recompute():
+    """TransformerLM.score_step_cached over a decode loop == score_step
+    (full-prefix recompute) at every position."""
+    from tailored_avsr_tpu.models.lm import TransformerLM
+
+    V2, N2, L2 = 9, 3, 7
+    lm = TransformerLM(vocab_size=V2, att_unit=16, head=2, unit=24, layer=2,
+                       dropout_rate=0.0, positional_dropout_rate=0.0)
+    key = jax.random.PRNGKey(0)
+    ys = jax.random.randint(key, (N2, L2), 0, V2)
+    variables = lm.init(key, ys, jnp.full((N2,), L2))
+    cache = lm.apply(variables, N2, L2, method=lambda m, *a: m.init_cache(*a))
+    for pos in range(1, L2):
+        want = lm.apply(variables, ys, jnp.asarray(pos), method="score_step")
+        got, cache = lm.apply(variables, ys, jnp.asarray(pos), cache,
+                              method="score_step_cached")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_speech2text_folded_lm_fusion_smoke(tmp_path):
+    """Speech2Text with a shallow-fusion LM takes the folded cached path and
+    produces the same hypotheses as the stateless-LM formulation."""
+    import types
+    from tailored_avsr_tpu.inference import Speech2Text
+
+    tok = tmp_path / "tokens.txt"
+    tok.write_text("\n".join(["<blank>", "<unk>"] +
+                              [chr(65 + i) for i in range(6)] + ["<sos/eos>"]))
+    base = dict(
+        task="asr",
+        token_list=str(tok),
+        frontend="default",
+        frontend_conf={"n_fft": 512, "win_length": 400, "hop_length": 160,
+                       "n_mels": 20},
+        encoder="branchformer",
+        encoder_conf={"output_size": 24, "attention_heads": 4,
+                      "linear_units": 32, "cgmlp_linear_units": 32,
+                      "cgmlp_conv_kernel": 7, "num_blocks": 1,
+                      "input_layer": "conv2d", "dropout_rate": 0.0},
+        decoder="transformer",
+        decoder_conf={"attention_heads": 4, "linear_units": 32,
+                      "num_blocks": 1, "dropout_rate": 0.0},
+        model="espnet", model_conf={"ctc_weight": 0.3},
+        inference_conf={"beam_size": 2, "ctc_weight": 0.3, "lm_weight": 0.4},
+    )
+    lm_cfg = types.SimpleNamespace(
+        token_list=None, lm_conf={"att_unit": 16, "head": 2, "unit": 24,
+                                  "layer": 2, "dropout_rate": 0.0},
+    )
+    rng = np.random.RandomState(0)
+    B, S = 2, 640 * 6
+    batch = {
+        "speech": (rng.randn(B, S) * 0.1).astype(np.float32),
+        "speech_lengths": np.full((B,), S, np.int32),
+        "text": np.ones((B, 4), np.int32),
+        "text_lengths": np.full((B,), 4, np.int32),
+    }
+    s2t = Speech2Text(types.SimpleNamespace(**base), lm_config=lm_cfg)
+    res_folded = s2t(batch)
+    assert len(res_folded) == B
+
+    # same model/LM params, stateless-LM formulation: swap to a decoder
+    # variant with no KV cache so _build_decode takes the lm_fn path
+    s2t2 = Speech2Text(types.SimpleNamespace(**base), lm_config=lm_cfg)
+    s2t2.variables = None
+    s2t2.ensure_params(batch)
+    s2t2.variables = s2t.variables
+    s2t2.lm_variables = s2t.lm_variables
+    object.__setattr__(s2t2.model.decoder, "layer_variant", "no_cache_test")
+    res_stateless = s2t2(batch)
+    assert [r[0] for r in res_folded] == [r[0] for r in res_stateless]
