@@ -400,11 +400,16 @@ class Speech2Text:
         """CTC greedy decoding fast path."""
         self.ensure_params(batch)
         args = self._model_args(batch)
-        ids, lens = jax.jit(
-            lambda v, *a: self.model.apply(
-                v, *self._dequantize(a), method="ctc_greedy"
+        key = ("greedy",) + tuple((a.shape, str(a.dtype)) for a in args)
+        if key not in self._decode_jit:
+            # one jitted graph per bucket shape (a fresh jit(lambda) per call
+            # would re-trace and re-compile every time)
+            self._decode_jit[key] = jax.jit(
+                lambda v, *a: self.model.apply(
+                    v, *self._dequantize(a), method="ctc_greedy"
+                )
             )
-        )(self.variables, *args)
+        ids, lens = self._decode_jit[key](self.variables, *args)
         hyps = ctc_greedy_collapse(np.asarray(ids), np.asarray(lens))
         out = []
         for h in hyps:

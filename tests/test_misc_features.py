@@ -200,3 +200,40 @@ def test_device_normalize_inference_path(tmp_path):
     assert len(streamed) == 2
     for _, res in streamed:
         assert [r[0] for r in res] == [r[0] for r in res_seq]
+
+
+def test_bf16_training_convergence_parity():
+    """bf16 compute (f32 master params) tracks the f32 loss trajectory on a
+    small overfitting problem (SURVEY.md §2.4 AMP row; ROADMAP bf16 item)."""
+    from tailored_avsr_tpu.train import (
+        create_train_state, make_train_step, set_optimizer,
+    )
+    from tailored_avsr_tpu.models import ASRModel, CTCHead
+
+    key = jax.random.PRNGKey(5)
+    enc = small_branchformer(num_blocks=1)
+    model = ASRModel(vocab_size=8, encoder=enc, ctc=CTCHead(8), ctc_weight=1.0)
+    feats = jax.random.normal(key, (4, 45, 20))
+    flens = jnp.array([45, 45, 40, 30])
+    text = jnp.array([[1, 2, -1], [3, 4, -1], [5, -1, -1], [2, 6, 7]])
+    tlens = jnp.array([2, 2, 1, 3])
+    variables = model.init(key, feats, flens, text, tlens)
+    ts = {"optimizer": "adam", "scheduler": "constant", "learning_rate": 3e-3,
+          "accum_grad": 1, "epochs": 1}
+
+    losses = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        tx, _ = set_optimizer(ts, 32, 10)
+        state = create_train_state(variables, tx)
+        step = jax.jit(make_train_step(model, tx, None, compute_dtype=dt))
+        traj = []
+        for i in range(25):
+            state, stats = step(state, (feats, flens, text, tlens),
+                                jax.random.PRNGKey(i))
+            traj.append(float(stats["loss"]))
+        losses[dt.__name__] = traj
+    f32, bf16 = losses["float32"], losses["bfloat16"]
+    # both optimize, and the trajectories stay close in relative terms
+    assert f32[-1] < 0.7 * f32[0] and bf16[-1] < 0.7 * bf16[0]
+    rel = abs(bf16[-1] - f32[-1]) / abs(f32[-1])
+    assert rel < 0.25, (f32[-1], bf16[-1])
