@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -58,9 +59,20 @@ class BasicBlock(nn.Module):
         return act(h + residual)
 
 
+class _StemKernel(nn.Module):
+    """Owns the stem conv kernel at <name>/kernel, matching nn.Conv's tree."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (5, 7, 7, 1, 64)
+        )
+
+
 class Conv3dResNet18(nn.Module):
     activation_type: str = "swish"
     bn_axis_name: Optional[str] = None
+    stem_s2d: bool = True  # space-to-depth stem evaluation (same params)
 
     def output_size(self) -> int:
         return 512
@@ -74,15 +86,41 @@ class Conv3dResNet18(nn.Module):
             self.activation_type
         ]
         b, t = video.shape[0], video.shape[1]
-        x = video[..., None]  # (B, T, H, W, 1) = 3-D conv NDHWC with D=time
-        x = nn.Conv(
-            64,
-            kernel_size=(5, 7, 7),
-            strides=(1, 2, 2),
-            padding=((2, 2), (3, 3), (3, 3)),
-            use_bias=False,
-            name="frontend3d_conv",
-        )(x)
+        # the stem kernel lives at frontend3d_conv/kernel in the ORIGINAL
+        # (5, 7, 7, 1, 64) layout — identical param tree to the nn.Conv it
+        # replaces (checkpoint / torch-translation compatible)
+        w = _StemKernel(name="frontend3d_conv")()
+        if self.stem_s2d and video.shape[2] % 2 == 0 and video.shape[3] % 2 == 0:
+            # Space-to-depth evaluation of the SAME stem conv: the k=(5,7,7)
+            # s=(1,2,2) conv over a 1-channel image runs the MXU at C_in=1 of
+            # the 8 input lanes. Factor-2 s2d (stride == factor, so the cell
+            # phase is constant) turns it into a k=(5,4,4) s=1 conv over a
+            # 4-channel half-res image — identical math, 4x better
+            # input-lane utilization. The kernel is rearranged at trace time:
+            # pad the 7-tap spatial kernel LEFT with a zero row/col, so tap
+            # kh' of the padded kernel reads input row 2h' - 4 + kh'.
+            wp = jnp.pad(w, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+            # (5, 4, subH 2, 4, subW 2, 1, 64) -> cells x (subH, subW) channels
+            w2 = wp.reshape(5, 4, 2, 4, 2, 1, 64).transpose(0, 1, 3, 2, 4, 5, 6)
+            w2 = w2.reshape(5, 4, 4, 4, 64).astype(video.dtype)
+            h2, w2_ = video.shape[2] // 2, video.shape[3] // 2
+            xs = video.reshape(b, t, h2, 2, w2_, 2).transpose(0, 1, 2, 4, 3, 5)
+            xs = xs.reshape(b, t, h2, w2_, 4)
+            x = jax.lax.conv_general_dilated(
+                xs,
+                w2,
+                window_strides=(1, 1, 1),
+                padding=((2, 2), (2, 1), (2, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        else:
+            x = jax.lax.conv_general_dilated(
+                video[..., None],
+                w.astype(video.dtype),
+                window_strides=(1, 2, 2),
+                padding=((2, 2), (3, 3), (3, 3)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
