@@ -230,6 +230,8 @@ def run_inference(args, config, tokenizer, converter, transforms):
             yield batch
 
     pairs = []
+    n_best = int(inf_conf.get("nbest", 1))
+    nbest_rows = []  # (sample_idx, rank, text, score) when n_best > 1
     t0 = time.time()
     profiling = bool(args.profile_dir)
     if profiling:
@@ -239,18 +241,41 @@ def run_inference(args, config, tokenizer, converter, transforms):
     # s2t.stream double-buffers the host->device input transfer under the
     # decode compute (the naive per-batch loop is transfer-bound; see
     # Speech2Text.stream)
-    for batch, results in s2t.stream(masked_batches()):
+    for batch, results in s2t.stream(masked_batches(), nbest=n_best > 1):
         if profiling:  # trace covers the first (compile+decode) batch
             jax.profiler.stop_trace()
             profiling = False
             print(f"wrote profiler trace to {args.profile_dir}")
-        for ref, (text, _, _) in zip(batch["refs"], results):
+        for ref, hyp in zip(batch["refs"], results):
+            if n_best > 1:
+                text = hyp[0][0]
+                for rank, (htext, _, _, score) in enumerate(hyp):
+                    nbest_rows.append((len(pairs), rank + 1, htext, score))
+            else:
+                text = hyp[0]
             pairs.append((ref, text))
             print(f"REF: {ref}\nHYP: {text}\n")
     dt = time.time() - t0
     os.makedirs(os.path.join(args.output_dir, "inference"), exist_ok=True)
     inf_path = os.path.join(args.output_dir, "inference", args.output_name + ".inf")
     write_inf_file(inf_path, pairs)
+    if n_best > 1:
+        # espnet-style nbest dirs: <out>/inference/<name>_nbest/<k>best_recog/
+        # {text,score} (the reference CLI's DatadirWriter layout,
+        # src/inference/avsr_inference.py:663-717)
+        for rank in range(1, n_best + 1):
+            d = os.path.join(
+                args.output_dir, "inference", args.output_name + "_nbest",
+                f"{rank}best_recog",
+            )
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "text"), "w") as ft, open(
+                os.path.join(d, "score"), "w"
+            ) as fs:
+                for idx, r, text, score in nbest_rows:
+                    if r == rank:
+                        ft.write(f"utt{idx:06d} {text}\n")
+                        fs.write(f"utt{idx:06d} {score:.4f}\n")
     wer, cer, ci_w, ci_c = compute_bootstrap_wer(inf_path)
     with open(os.path.join(args.output_dir, "inference", args.output_name + ".wer"), "w") as f:
         f.write(f"WER: {wer:.2f} +- {ci_w:.2f}\nCER: {cer:.2f} +- {ci_c:.2f}\n")

@@ -190,7 +190,7 @@ class Speech2Text:
                         enc_out, enc_lens, pred_apply, joint_apply, init_state,
                         beam_size=kk, max_symbols=enc_out.shape[1],
                     )
-                    return res.tokens[:, 0], res.lengths[:, 0], res.scores[:, 0]
+                    return res.tokens, res.lengths, res.scores
                 init_state = model.apply(
                     variables, enc_out.shape[0],
                     method=lambda m, b: m.prediction_network.initial_state(b),
@@ -198,7 +198,10 @@ class Speech2Text:
                 toks, count = transducer_greedy_decode(
                     enc_out, enc_lens, pred_apply, joint_apply, init_state
                 )
-                return toks, count, jnp.zeros(count.shape)
+                return (
+                    toks[:, None], count[:, None],
+                    jnp.zeros(count.shape)[:, None],
+                )
             ctc_logp = model.apply(
                 variables, enc_out, method=lambda m, x: m.ctc.log_softmax(x)
             )
@@ -215,7 +218,10 @@ class Speech2Text:
                     ctc_logp, enc_lens, mlm_fn, model.vocab_size,
                     threshold=thr, num_iterations=n_iter,
                 )
-                return res.tokens, res.lengths, jnp.zeros(res.lengths.shape)
+                return (
+                    res.tokens[:, None], res.lengths[:, None],
+                    jnp.zeros(res.lengths.shape)[:, None],
+                )
             mem_mask = make_valid_mask(enc_lens, enc_out.shape[1])
             k = cfg.beam_size
             n = enc_out.shape[0] * k
@@ -302,32 +308,49 @@ class Speech2Text:
                 att_fn, ctc_logp, enc_lens, model.sos, model.eos, cfg,
                 lm_score_fn=lm_fn, att_state=att_state,
             )
-            return res.tokens[:, 0], res.lengths[:, 0], res.scores[:, 0]
+            return res.tokens, res.lengths, res.scores
 
         return jax.jit(decode)
 
-    def __call__(self, batch: Dict) -> List[Tuple[str, List[str], List[int]]]:
-        """Batch dict -> [(text, tokens, ids)] per utterance (1-best)."""
+    def _decode_arrays(self, batch: Dict):
         self.ensure_params(batch)
         args = self._model_args(batch)
         key = tuple((a.shape, str(a.dtype)) for a in args)
         if key not in self._decode_jit:
             self._decode_jit[key] = self._build_decode(key)
-        tokens, lengths, _ = self._decode_jit[key](self.variables, *args)
-        tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
-        results = []
+        tokens, lengths, scores = self._decode_jit[key](self.variables, *args)
+        return np.asarray(tokens), np.asarray(lengths), np.asarray(scores)
+
+    def _ids_to_result(self, ids: List[int]) -> Tuple[str, List[str], List[int]]:
+        toks = self.converter.ids2tokens(ids)
+        text = (
+            self.tokenizer.tokens2text(toks) if self.tokenizer else " ".join(toks)
+        )
+        return text, toks, ids
+
+    def __call__(self, batch: Dict) -> List[Tuple[str, List[str], List[int]]]:
+        """Batch dict -> [(text, tokens, ids)] per utterance (1-best)."""
+        return [hyps[0][:3] for hyps in self.nbest(batch)]
+
+    def nbest(
+        self, batch: Dict
+    ) -> List[List[Tuple[str, List[str], List[int], float]]]:
+        """Batch dict -> per utterance the n-best list
+        [(text, tokens, ids, score)] sorted best-first (the reference's
+        Speech2Text.__call__ nbest contract, avsr_inference.py:365-517)."""
+        tokens, lengths, scores = self._decode_arrays(batch)
         no_sos = self.is_maskctc or self.model.joint_network is not None
+        results = []
         for i in range(tokens.shape[0]):
-            if no_sos:
-                ids = [int(t) for t in tokens[i, : lengths[i]]]
-            else:
-                ids = [int(t) for t in tokens[i, 1 : 1 + lengths[i]]]  # drop sos
-            toks = self.converter.ids2tokens(ids)
-            text = (
-                self.tokenizer.tokens2text(toks) if self.tokenizer else " ".join(toks)
-            )
-            results.append((text, toks, ids))
+            hyps = []
+            for j in range(tokens.shape[1]):
+                if no_sos:
+                    ids = [int(t) for t in tokens[i, j, : lengths[i, j]]]
+                else:
+                    ids = [int(t) for t in tokens[i, j, 1 : 1 + lengths[i, j]]]
+                text, toks, ids = self._ids_to_result(ids)
+                hyps.append((text, toks, ids, float(scores[i, j])))
+            results.append(hyps)
         return results
 
     # -- pipelined decoding: overlap host->device transfer with compute -------
@@ -367,7 +390,7 @@ class Speech2Text:
     def _touch(arrays) -> jnp.ndarray:
         return sum(x.ravel()[0].astype(jnp.float32) for x in arrays)
 
-    def stream(self, batches):
+    def stream(self, batches, nbest: bool = False):
         """Decode an iterable of batches with threaded input prefetch.
 
         Yields (batch, results) pairs. A background thread uploads batch i+1
@@ -384,6 +407,7 @@ class Speech2Text:
         first = next(it, None)
         if first is None:
             return
+        decode = self.nbest if nbest else self.__call__
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(self.device_put_batch, first)
             while fut is not None:
@@ -394,7 +418,7 @@ class Speech2Text:
                     if nxt is not None
                     else None
                 )
-                yield cur, self(cur)
+                yield cur, decode(cur)
 
     def greedy(self, batch: Dict) -> List[str]:
         """CTC greedy decoding fast path."""

@@ -143,3 +143,39 @@ def test_avsr_mask_robustness_inference(corpus, tmp_path):
         "--output-name", "masked",
     ])
     assert os.path.exists(os.path.join(out_dir, "inference", "masked.inf"))
+
+
+def test_nbest_inference_outputs(corpus, tmp_path):
+    """inference_conf.nbest > 1 writes espnet-style nbest dirs and the 1-best
+    .inf; Speech2Text.nbest returns sorted hypotheses."""
+    csv_path, token_path = corpus
+    cfg = write_tiny_config(
+        tmp_path, token_path,
+        inference_conf={"nbest": 2, "beam_size": 3, "ctc_weight": 0.3,
+                        "batch_size": 3},
+        training_settings={"epochs": 1, "average_epochs": 1, "batch_size": 3},
+    )
+    out_dir = str(tmp_path / "exp_nbest")
+    import avsr_main
+
+    avsr_main.main([
+        "--config-file", cfg,
+        "--training-dataset", csv_path,
+        "--validation-dataset", csv_path,
+        "--test-dataset", csv_path,
+        "--mode", "both",
+        "--output-dir", out_dir,
+        "--output-name", "nb",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "inference", "nb.inf"))
+    for rank in (1, 2):
+        d = os.path.join(out_dir, "inference", "nb_nbest", f"{rank}best_recog")
+        text = open(os.path.join(d, "text")).read().strip().split("\n")
+        score = open(os.path.join(d, "score")).read().strip().split("\n")
+        assert len(text) == 6 and len(score) == 6
+    # rank-1 scores >= rank-2 scores per utterance
+    s1 = [float(l.split()[1]) for l in open(
+        os.path.join(out_dir, "inference", "nb_nbest", "1best_recog", "score"))]
+    s2 = [float(l.split()[1]) for l in open(
+        os.path.join(out_dir, "inference", "nb_nbest", "2best_recog", "score"))]
+    assert all(a >= b for a, b in zip(s1, s2))
