@@ -39,6 +39,7 @@ from tailored_avsr_tpu.ops.feedforward import PositionwiseFeedForward
 from tailored_avsr_tpu.ops.masking import MASK_MIN, make_valid_mask
 from tailored_avsr_tpu.ops.posenc import (
     AbsolutePositionalEncoding,
+    LegacyRelPositionalEncoding,
     RelPositionalEncoding,
     ScaledPositionalEncoding,
 )
@@ -138,6 +139,7 @@ class BranchformerEncoderLayer(nn.Module):
                     self.attention_dropout_rate,
                     self.zero_triu,
                     self.use_flash,
+                    legacy=self.attention_layer_type == "legacy_rel_selfattn",
                     name="attn",
                 )
             elif self.attention_layer_type == "fast_selfattn":
@@ -316,14 +318,21 @@ class BranchformerEncoder(nn.Module):
         return list(v)
 
     def setup(self):
-        # resolve effective attention type exactly like the reference (:95-104)
+        # resolve effective attention/pos-enc types exactly like the reference
+        # (:95-104): rel_pos_type 'legacy' downgrades the 'latest' choices
         att_type = self.attention_layer_type
-        if self.rel_pos_type == "legacy" and att_type == "rel_selfattn":
-            att_type = "legacy_rel_selfattn"
+        pos_type = self.pos_enc_layer_type
+        if self.rel_pos_type == "legacy":
+            if att_type == "rel_selfattn":
+                att_type = "legacy_rel_selfattn"
+            if pos_type == "rel_pos":
+                pos_type = "legacy_rel_pos"
         self._att_type = att_type
 
-        if self.pos_enc_layer_type in ("rel_pos", "legacy_rel_pos"):
+        if pos_type == "rel_pos":
             self.pos_enc = RelPositionalEncoding(self.positional_dropout_rate)
+        elif pos_type == "legacy_rel_pos":
+            self.pos_enc = LegacyRelPositionalEncoding(self.positional_dropout_rate)
         elif self.pos_enc_layer_type == "abs_pos":
             self.pos_enc = AbsolutePositionalEncoding(self.positional_dropout_rate)
         elif self.pos_enc_layer_type == "scaled_abs_pos":

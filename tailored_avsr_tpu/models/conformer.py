@@ -76,7 +76,9 @@ class ConformerEncoderLayer(nn.Module):
         if self.attention_layer_type in ("rel_selfattn", "legacy_rel_selfattn"):
             self.self_attn = RelPositionMultiHeadedAttention(
                 self.attention_heads, self.attention_dropout_rate,
-                False, self.use_flash, name="self_attn",
+                False, self.use_flash,
+                legacy=self.attention_layer_type == "legacy_rel_selfattn",
+                name="self_attn",
             )
         else:
             self.self_attn = MultiHeadedAttention(

@@ -33,9 +33,10 @@ class CTCHead(nn.Module):
         label_lengths: jnp.ndarray,
         *,
         deterministic: bool = True,
+        reduce: bool = True,
     ) -> jnp.ndarray:
         logits = self(x, deterministic=deterministic)
-        return ctc_loss(logits, lengths, labels, label_lengths)
+        return ctc_loss(logits, lengths, labels, label_lengths, reduce=reduce)
 
     def softmax(self, x: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.softmax(self(x), axis=-1)

@@ -141,12 +141,14 @@ class ConvDecoderLayer(nn.Module):
     """Lightweight/dynamic-convolution decoder layer (Wu et al., ICLR 2019).
 
     Capability parity with espnet's ``LightweightConvolutionTransformerDecoder``
-    / ``DynamicConvolutionTransformerDecoder`` choices registered by the
-    reference (/root/reference/src/tasks/asr.py:176-194): the causal
-    self-attention sub-block is replaced by a causal depthwise convolution
-    whose kernel weights are softmax-normalized and shared across ``heads``
-    channel groups; 'dynamic' predicts the kernel per position from the
-    current feature. Cross-attention and FFN are unchanged.
+    / ``DynamicConvolutionTransformerDecoder`` (and their ``…2D`` twins)
+    registered by the reference (/root/reference/src/tasks/asr.py:176-194): the
+    causal self-attention sub-block is replaced by a causal convolution whose
+    kernel weights are softmax-normalized and shared across ``wshare`` channel
+    groups; 'dynamic' predicts the kernel per position from the current
+    feature. ``two_dim`` convolves over the (time, feature) plane — causal in
+    time, same-padded in feature — instead of time only. Cross-attention and
+    FFN are unchanged.
     """
 
     size: int
@@ -154,20 +156,27 @@ class ConvDecoderLayer(nn.Module):
     linear_units: int = 2048
     kernel_size: int = 11
     dynamic: bool = False
+    two_dim: bool = False
+    wshare: int = 4
+    use_bias: bool = False
     src_attention_dropout_rate: float = 0.0
     dropout_rate: float = 0.1
 
     def setup(self):
         self.glu_proj = nn.Dense(2 * self.size, name="glu_proj")
+        k = self.kernel_size
+        n_taps = k * k if self.two_dim else k
         if self.dynamic:
-            self.weight_proj = nn.Dense(
-                self.attention_heads * self.kernel_size, name="weight_proj"
-            )
+            self.weight_proj = nn.Dense(self.wshare * n_taps, name="weight_proj")
         else:
             self.conv_weight = self.param(
                 "conv_weight",
                 nn.initializers.lecun_normal(),
-                (self.attention_heads, self.kernel_size),
+                (self.wshare, n_taps),
+            )
+        if self.use_bias:
+            self.conv_bias = self.param(
+                "conv_bias", nn.initializers.zeros, (self.size,)
             )
         self.out_proj = nn.Dense(self.size, name="out_proj")
         self.src_attn = MultiHeadedAttention(
@@ -184,21 +193,53 @@ class ConvDecoderLayer(nn.Module):
 
     def _conv(self, h: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         b, t, d = h.shape
-        hh, k = self.attention_heads, self.kernel_size
+        hh, k = self.wshare, self.kernel_size
         x = self.glu_proj(h)
         x = x[..., :d] * nn.sigmoid(x[..., d:])  # GLU
-        # causal left-pad, unfold k taps: (B, T, k, D)
-        xp = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
-        taps = jnp.stack([xp[:, i : i + t] for i in range(k)], axis=2)
+        # softmax-normalized kernels, shared across `wshare` channel groups
         if self.dynamic:
-            w = self.weight_proj(x).reshape(b, t, hh, k)  # per-position kernels
+            n_taps = k * k if self.two_dim else k
+            w = self.weight_proj(x).reshape(b, t, hh, n_taps)
             w = jax.nn.softmax(w, axis=-1)
-            w = jnp.repeat(w, d // hh, axis=2)  # (B, T, D, k) per channel group
-            y = jnp.einsum("btkd,btdk->btd", taps, w)
+            w = jnp.repeat(w, d // hh, axis=2)  # (B, T, D, taps)
         else:
-            w = jax.nn.softmax(self.conv_weight, axis=-1)  # (H, k)
-            w = jnp.repeat(w, d // hh, axis=0)  # (D, k)
-            y = jnp.einsum("btkd,dk->btd", taps, w)
+            w = jax.nn.softmax(self.conv_weight, axis=-1)
+            w = jnp.repeat(w, d // hh, axis=0)  # (D, taps)
+        # causal left-pad in time, unfold k time taps
+        xp = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
+        if self.two_dim:
+            # conv over the (time, feature) plane: causal in time, 'same' in
+            # feature. Feature tap j of output channel c reads channel
+            # c - k//2 + j, accumulated over a static python loop (k is small).
+            pf = k // 2
+            xpf = jnp.pad(xp, ((0, 0), (0, 0), (pf, pf)))
+            tapsf = jnp.stack(
+                [xpf[:, i : i + t] for i in range(k)], axis=2
+            )  # (B, T, k_t, D + 2*pf)
+            wk = (
+                w.reshape(b, t, d, k, k)
+                if self.dynamic
+                else w.reshape(d, k, k)
+            )
+            y = jnp.zeros((b, t, d), x.dtype)
+            for j in range(k):
+                tj = tapsf[..., j : j + d]  # (B, T, k_t, D)
+                y = y + (
+                    jnp.einsum("btkd,btdk->btd", tj, wk[..., j])
+                    if self.dynamic
+                    else jnp.einsum("btkd,dk->btd", tj, wk[..., j])
+                )
+        else:
+            taps = jnp.stack(
+                [xp[:, i : i + t] for i in range(k)], axis=2
+            )  # (B, T, k, D)
+            y = (
+                jnp.einsum("btkd,btdk->btd", taps, w)
+                if self.dynamic
+                else jnp.einsum("btkd,dk->btd", taps, w)
+            )
+        if self.use_bias:
+            y = y + self.conv_bias
         return self.out_proj(y)
 
     def __call__(self, tgt, tgt_mask, memory, memory_mask, *, deterministic=True):
@@ -234,8 +275,11 @@ class _DecoderBase(nn.Module):
     self_attention_dropout_rate: float = 0.0
     src_attention_dropout_rate: float = 0.0
     use_output_layer: bool = True
-    layer_variant: str = "transformer"  # 'transformer'|'sim_t'|'lightconv'|'dynamicconv'
+    # 'transformer'|'sim_t'|'lightconv'|'dynamicconv'|'lightconv2d'|'dynamicconv2d'
+    layer_variant: str = "transformer"
     conv_kernel_length: object = 11  # int or per-layer tuple (conv variants)
+    conv_wshare: int = 4  # channel groups sharing one conv kernel
+    conv_usebias: bool = False
 
     def _kernel(self, i: int) -> int:
         k = self.conv_kernel_length
@@ -245,14 +289,19 @@ class _DecoderBase(nn.Module):
         d = self.encoder_output_size
         self.embed_tok = nn.Embed(self.vocab_size, d, name="embed_tok")
         self.pos_enc = AbsolutePositionalEncoding(self.positional_dropout_rate)
-        if self.layer_variant in ("lightconv", "dynamicconv"):
+        if self.layer_variant in (
+            "lightconv", "dynamicconv", "lightconv2d", "dynamicconv2d"
+        ):
             self.layers = [
                 ConvDecoderLayer(
                     size=d,
                     attention_heads=self.attention_heads,
                     linear_units=self.linear_units,
                     kernel_size=self._kernel(i),
-                    dynamic=self.layer_variant == "dynamicconv",
+                    dynamic=self.layer_variant.startswith("dynamicconv"),
+                    two_dim=self.layer_variant.endswith("2d"),
+                    wshare=self.conv_wshare,
+                    use_bias=self.conv_usebias,
                     src_attention_dropout_rate=self.src_attention_dropout_rate,
                     dropout_rate=self.dropout_rate,
                     name=f"layer_{i}",
@@ -446,3 +495,19 @@ class DynamicConvDecoder(TransformerDecoder):
     """AR decoder with causal dynamic-convolution self-blocks."""
 
     layer_variant: str = "dynamicconv"
+
+
+class LightConv2DDecoder(TransformerDecoder):
+    """AR decoder with causal 2D (time x feature) lightweight-conv self-blocks
+    (espnet ``LightweightConvolution2DTransformerDecoder`` choice,
+    /root/reference/src/tasks/asr.py:181)."""
+
+    layer_variant: str = "lightconv2d"
+
+
+class DynamicConv2DDecoder(TransformerDecoder):
+    """AR decoder with causal 2D (time x feature) dynamic-conv self-blocks
+    (espnet ``DynamicConvolution2DTransformerDecoder`` choice,
+    /root/reference/src/tasks/asr.py:183)."""
+
+    layer_variant: str = "dynamicconv2d"

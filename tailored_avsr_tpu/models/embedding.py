@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from tailored_avsr_tpu.ops.posenc import (
     AbsolutePositionalEncoding,
+    LegacyRelPositionalEncoding,
     RelPositionalEncoding,
     ScaledPositionalEncoding,
 )
@@ -39,11 +40,17 @@ class DefaultEmbeddingLayerForAVSR(nn.Module):
             self.embed_dropout = nn.Dropout(self.dropout_rate)
         else:
             raise ValueError(f"unknown input_layer: {self.input_layer}")
-        if self.pos_enc_layer_type == "rel_pos":
+        pos_type = self.pos_enc_layer_type
+        if self.rel_pos_type == "legacy" and pos_type == "rel_pos":
+            pos_type = "legacy_rel_pos"
+        self._pos_type = pos_type
+        if pos_type == "rel_pos":
             self.pos_enc = RelPositionalEncoding(self.positional_dropout_rate)
-        elif self.pos_enc_layer_type == "abs_pos":
+        elif pos_type == "legacy_rel_pos":
+            self.pos_enc = LegacyRelPositionalEncoding(self.positional_dropout_rate)
+        elif pos_type == "abs_pos":
             self.pos_enc = AbsolutePositionalEncoding(self.positional_dropout_rate)
-        elif self.pos_enc_layer_type == "scaled_abs_pos":
+        elif pos_type == "scaled_abs_pos":
             self.pos_enc = ScaledPositionalEncoding(self.positional_dropout_rate)
         else:
             raise ValueError(self.pos_enc_layer_type)
@@ -62,7 +69,7 @@ class DefaultEmbeddingLayerForAVSR(nn.Module):
 
     def apply_pos_enc(self, x: jnp.ndarray, *, deterministic: bool = True):
         """Apply positional encoding AFTER alignment. Returns (x, pos_emb|None)."""
-        if self.pos_enc_layer_type == "rel_pos":
+        if self._pos_type in ("rel_pos", "legacy_rel_pos"):
             return self.pos_enc(x, deterministic=deterministic)
         return self.pos_enc(x, deterministic=deterministic), None
 

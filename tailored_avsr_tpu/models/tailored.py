@@ -73,6 +73,7 @@ class TailoredEncoderLayer(nn.Module):
                     self.attention_dropout_rate,
                     self.zero_triu,
                     self.use_flash,
+                    legacy=self.attention_layer_type == "legacy_rel_selfattn",
                     name=f"{prefix}_attn",
                 )
             if self.attention_layer_type == "selfattn":

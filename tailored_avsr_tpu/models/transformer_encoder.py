@@ -45,7 +45,9 @@ class TransformerEncoderLayer(nn.Module):
         if self.attention_layer_type in ("rel_selfattn", "legacy_rel_selfattn"):
             self.self_attn = RelPositionMultiHeadedAttention(
                 self.attention_heads, self.attention_dropout_rate,
-                False, self.use_flash, name="self_attn",
+                False, self.use_flash,
+                legacy=self.attention_layer_type == "legacy_rel_selfattn",
+                name="self_attn",
             )
         else:
             self.self_attn = MultiHeadedAttention(
@@ -123,6 +125,70 @@ class TransformerEncoder(BranchformerEncoder):
             use_flash=self.use_flash,
             name=f"layer_{i}",
         )
+
+
+class MultiSpeakerTransformerEncoder(TransformerEncoder):
+    """Multi-speaker Transformer encoder (espnet 'transformer_multispkr'
+    choice, /root/reference/src/tasks/asr.py:47-49): ``num_blocks`` shared
+    recognition layers followed by ``num_inf`` speaker-dependent stacks of
+    ``num_blocks_sd`` layers. Returns (B, num_inf, T, D) — one encoding per
+    separated speaker, consumed by the PIT model.
+
+    TPU-first note: the speaker stacks are independent, so they run as
+    ``num_inf`` sequential layer chains within one jitted graph; XLA overlaps
+    their matmuls freely (no host loop, no dynamic shapes).
+    """
+
+    num_inf: int = 2
+    num_blocks_sd: int = 2
+
+    def setup(self):
+        super().setup()
+        self.layers_sd = [
+            [
+                TransformerEncoderLayer(
+                    size=self.output_size,
+                    attention_heads=self.attention_heads,
+                    attention_layer_type=self._att_type,
+                    attention_dropout_rate=self.attention_dropout_rate,
+                    linear_units=self.linear_units,
+                    ffn_activation=self.ffn_activation_type,
+                    dropout_rate=self.dropout_rate,
+                    use_flash=self.use_flash,
+                    name=f"sd{s}_layer_{i}",
+                )
+                for i in range(self.num_blocks_sd)
+            ]
+            for s in range(self.num_inf)
+        ]
+
+    def __call__(
+        self,
+        xs: jnp.ndarray,
+        ilens: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        ctc=None,
+        max_layer=None,
+    ):
+        from tailored_avsr_tpu.ops.masking import make_valid_mask
+
+        xs, ilens, pos_emb = self.embed_frames(xs, ilens, deterministic=deterministic)
+        mask = make_valid_mask(ilens, xs.shape[1])
+        for layer in self.layers:
+            xs, _ = layer(xs, pos_emb, mask, deterministic=deterministic)
+        outs = []
+        for stack in self.layers_sd:
+            h = xs
+            for layer in stack:
+                h, _ = layer(h, pos_emb, mask, deterministic=deterministic)
+            if self.normalize_before:
+                h = self.after_norm(h)
+            outs.append(h)
+        return jnp.stack(outs, axis=1), ilens, {
+            "intermediate_outs": [],
+            "branch_weights": [],
+        }
 
 
 class LongformerEncoder(TransformerEncoder):

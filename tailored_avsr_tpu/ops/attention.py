@@ -152,16 +152,33 @@ def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, :, :, :t]
 
 
+def legacy_rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL original shift on a (B, H, T, T) score matrix.
+
+    out[..., i, j] = x[..., i, T-1-(i-j)] for j <= i (relative distance i-j
+    reads pos-emb row T-1-(i-j)); entries with j > i are the same fold
+    artifacts the legacy espnet/Transformer-XL code produces (the legacy
+    encoding has no negative-distance rows).
+    """
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (b,h,t,t+1)
+    x = x.reshape(b, h, t + 1, t)[:, :, 1:, :]  # drop first fold row
+    return x.reshape(b, h, t, t)
+
+
 class RelPositionMultiHeadedAttention(nn.Module):
     """Transformer-XL style relative-position MHA with learned u/v biases.
 
-    ``pos_emb`` is the (1, 2T-1, D) table from ``RelPositionalEncoding``.
+    ``pos_emb`` is the (1, 2T-1, D) table from ``RelPositionalEncoding``, or
+    (1, T, D) from ``LegacyRelPositionalEncoding`` when ``legacy=True``
+    (pre-2020 espnet 'legacy_rel_selfattn' numerics).
     """
 
     num_heads: int
     dropout_rate: float = 0.0
     zero_triu: bool = False
     use_flash: bool = False  # Pallas fused kernel (inference / no-dropout path)
+    legacy: bool = False  # pre-2020 'legacy_rel_selfattn' shift + (1, T, D) table
 
     @nn.compact
     def __call__(
@@ -195,19 +212,38 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_u = q + pos_bias_u[None, :, None, :].astype(q.dtype)
         q_v = q + pos_bias_v[None, :, None, :].astype(q.dtype)
 
-        # content-position Toeplitz term (skinny matmul + reshape shift)
-        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p)  # (B,H,T,2T-1)
-        matrix_bd = rel_shift(matrix_bd)
-        if self.zero_triu:
-            t = matrix_bd.shape[-2]
-            ones = jnp.tril(jnp.ones((t, t), dtype=matrix_bd.dtype))
-            matrix_bd = matrix_bd * ones[None, None]
-
         flash_ok = (
             self.use_flash
             and (deterministic or self.dropout_rate == 0.0)
             and (mask is None or mask.ndim == 2)
         )
+        # in-kernel Toeplitz pays when the materialized (B, H, T, T) bias
+        # would be large (HBM-bound); below ~32MB the streamed-bias kernel is
+        # marginally faster (measured on v5e, scripts/bench_flash_relpos.py)
+        t_q = q.shape[2]
+        bias_bytes = q.shape[0] * h * t_q * t_q * jnp.dtype(q.dtype).itemsize
+        if (
+            flash_ok
+            and not self.legacy
+            and not self.zero_triu
+            and bias_bytes >= 32 * 1024 * 1024
+        ):
+            # fully fused path: the Toeplitz rel-pos term is computed inside
+            # the kernel (barrel-shifter shift) — no (B, H, T, T) bias in HBM
+            from tailored_avsr_tpu.ops.flash_attention import flash_attention_relpos
+
+            out = flash_attention_relpos(q_u, k, v, q_v, p[0], mask=mask)
+            out = out.transpose(0, 2, 1, 3).reshape(query.shape[:-1] + (d,))
+            return nn.Dense(d, name="linear_out")(out)
+
+        # content-position Toeplitz term (skinny matmul + reshape shift)
+        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p)  # (B,H,T,2T-1 | T)
+        matrix_bd = legacy_rel_shift(matrix_bd) if self.legacy else rel_shift(matrix_bd)
+        if self.zero_triu:
+            t = matrix_bd.shape[-2]
+            ones = jnp.tril(jnp.ones((t, t), dtype=matrix_bd.dtype))
+            matrix_bd = matrix_bd * ones[None, None]
+
         if flash_ok:
             from tailored_avsr_tpu.ops.flash_attention import flash_attention
 

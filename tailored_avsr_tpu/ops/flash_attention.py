@@ -77,6 +77,154 @@ def _attn_kernel(
         ).astype(o_ref.dtype)
 
 
+def _attn_rel_kernel(
+    q_ref, k_ref, v_ref, qv_ref, plo_ref, phi_ref, mask_ref,
+    o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, num_k_blocks: int, block: int,
+):
+    """Flash kernel computing the XL rel-pos Toeplitz term IN-KERNEL.
+
+    For the tile (qi, ki) with square blocks B, bias[r, c] = q_v[r] . p[idx]
+    where idx walks a 2B-1 span of the (2T-1)-row rel table that depends only
+    on the block diagonal d = ki - qi. The launcher re-bases the table so each
+    span starts B-aligned (p_lo/p_hi blocks); the per-row shift
+    out[r, c] = s_rel[r, B + c - r] is realized with a barrel shifter —
+    log2(B) conditional constant `pltpu.roll`s — followed by an ALIGNED static
+    lane slice [B:2B]. No (B, H, T, T) bias ever exists in HBM.
+    """
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (B, dk) content query (q + pos_bias_u)
+    k = k_ref[0]
+    v = v_ref[0]
+    qv = qv_ref[0]  # (B, dk) positional query (q + pos_bias_v)
+    p = jnp.concatenate([plo_ref[0], phi_ref[0]], axis=0)  # (2B, dk)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (B, B)
+    s_rel = jax.lax.dot_general(
+        qv, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (B, 2B); s_rel[r, u] pairs query row r with table span entry u
+    # barrel shifter: row r needs a circular roll by +r; reading lanes
+    # [B, 2B) afterwards yields s_rel[r, B + c - r] with no wraparound
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, s_rel.shape, 0)
+    nbits = max(1, (block - 1).bit_length())
+    for b in range(nbits):
+        rolled = pltpu.roll(s_rel, 1 << b, axis=1)
+        s_rel = jnp.where((r_idx >> b) & 1 == 1, rolled, s_rel)
+    s = (s + s_rel[:, block:]) * scale
+
+    valid = mask_ref[0] > 0  # (1, B) int32 -> bool
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scratch[:]
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p_ = jnp.exp(s - m_new) * (valid.astype(jnp.float32))
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_prev * corr + jnp.sum(p_, axis=-1, keepdims=True)
+    acc_scratch[:] = acc_scratch[:] * corr + jax.lax.dot_general(
+        p_.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scratch[:] = m_new
+    l_scratch[:] = l_new
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = l_scratch[:]
+        o_ref[0] = jnp.where(
+            l > 0, acc_scratch[:] / jnp.maximum(l, 1e-30), 0.0
+        ).astype(o_ref.dtype)
+
+
+def flash_attention_relpos(
+    q: jnp.ndarray,  # (B, H, T, dk) content query (q + pos_bias_u)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_rel: jnp.ndarray,  # (B, H, T, dk) positional query (q + pos_bias_v)
+    pos: jnp.ndarray,  # (H, 2T-1, dk) per-head projected rel table
+    mask: Optional[jnp.ndarray] = None,  # (B, T) True = valid key
+    block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused XL rel-pos flash attention with the Toeplitz term computed
+    in-kernel (see _attn_rel_kernel). Equivalent to
+    ``flash_attention(q, k, v, bias=rel_shift(q_rel @ pos^T), mask)`` without
+    ever materializing the (B, H, T, T) bias in HBM."""
+    b, h, t, dk = q.shape
+    scale = 1.0 / (dk ** 0.5)
+    tp = -(-t // block) * block  # padded length (square blocks)
+    pad = tp - t
+    if pad:
+        zp = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v, q_rel = (jnp.pad(x, zp) for x in (q, k, v, q_rel))
+    if mask is None:
+        mask = jnp.ones((b, t), bool)
+    key_mask = jnp.pad(mask, ((0, 0), (0, pad))).astype(jnp.int32)[:, None, :]
+
+    n = tp // block
+    # re-base the rel table so every tile's 2B-span starts block-aligned:
+    # tile (qi, ki) needs table rows T-1 + (ki-qi-1)*B + u (u in [0, 2B));
+    # aligned[m] = table[m + T-1 - n*B] puts that span at block (n-1+ki-qi)
+    rows = 2 * n * block
+    idx = jnp.arange(rows) + (t - 1 - n * block)
+    safe = jnp.clip(idx, 0, 2 * t - 2)
+    p_aligned = jnp.where(
+        ((idx >= 0) & (idx <= 2 * t - 2))[None, :, None],
+        jnp.take(pos, safe, axis=1),
+        0.0,
+    ).astype(q.dtype)  # (H, rows, dk)
+
+    bh = b * h
+    qf = q.reshape(bh, tp, dk)
+    kf = k.reshape(bh, tp, dk)
+    vf = v.reshape(bh, tp, dk)
+    qvf = q_rel.reshape(bh, tp, dk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_rel_kernel, scale=scale, num_k_blocks=n, block=block
+        ),
+        grid=(bh, n, n),
+        in_specs=[
+            pl.BlockSpec((1, block, dk), lambda bhi, qi, ki: (bhi, qi, 0)),
+            pl.BlockSpec((1, block, dk), lambda bhi, qi, ki: (bhi, ki, 0)),
+            pl.BlockSpec((1, block, dk), lambda bhi, qi, ki: (bhi, ki, 0)),
+            pl.BlockSpec((1, block, dk), lambda bhi, qi, ki: (bhi, qi, 0)),
+            pl.BlockSpec(
+                (1, block, dk),
+                lambda bhi, qi, ki, h=h, n=n: (bhi % h, n - 1 + ki - qi, 0),
+            ),
+            pl.BlockSpec(
+                (1, block, dk),
+                lambda bhi, qi, ki, h=h, n=n: (bhi % h, n + ki - qi, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block), lambda bhi, qi, ki, h=h: (bhi // h, 0, ki)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, block, dk), lambda bhi, qi, ki: (bhi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tp, dk), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, dk), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, qvf, p_aligned, p_aligned, key_mask)
+    return out.reshape(b, h, tp, dk)[:, :, :t, :]
+
+
 def flash_attention(
     q: jnp.ndarray,  # (B, H, T, dk) — pre-biased query (q + pos_bias_u)
     k: jnp.ndarray,

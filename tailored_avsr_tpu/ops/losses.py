@@ -29,8 +29,10 @@ def ctc_loss(
     labels: jnp.ndarray,
     label_lengths: jnp.ndarray,
     blank_id: int = 0,
+    reduce: bool = True,
 ) -> jnp.ndarray:
-    """Batch-mean CTC loss. logits: (B, T, V); labels: (B, L) (>=0 where valid)."""
+    """Batch-mean CTC loss (or per-sequence with ``reduce=False``, used by the
+    PIT permutation search). logits: (B, T, V); labels: (B, L) (>=0 valid)."""
     b, t, _ = logits.shape
     logit_pad = (
         jnp.arange(t)[None, :] >= logit_lengths[:, None]
@@ -53,6 +55,8 @@ def ctc_loss(
     repeats = jnp.sum(((safe_labels == prev) & valid_lab & (jnp.arange(l)[None, :] > 0)), axis=-1)
     feasible = logit_lengths >= label_lengths + repeats
     per_seq = jnp.where(feasible, per_seq, 0.0)
+    if not reduce:
+        return per_seq
     return jnp.sum(per_seq) / b
 
 

@@ -92,3 +92,23 @@ class RelPositionalEncoding(nn.Module):
         x = drop(x, deterministic=deterministic)
         pos = drop(pos, deterministic=deterministic)
         return x, pos
+
+
+class LegacyRelPositionalEncoding(nn.Module):
+    """Pre-2020 espnet relative encoding (``rel_pos_type: legacy``): the table
+    has only ``T`` rows (positions 0..T-1, no negative side); the matching
+    legacy rel-shift in attention reads row ``T-1-(i-j)`` for key j <= query i.
+    Registered because the reference exposes the choice
+    (/root/reference/src/encoder/branchformer/encoder.py:95-120)."""
+
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
+        t, d = x.shape[-2], x.shape[-1]
+        pos = jnp.asarray(abs_pos_table(t, d), dtype=x.dtype)[None]
+        x = x * jnp.asarray(np.sqrt(d), dtype=x.dtype)
+        drop = nn.Dropout(self.dropout_rate)
+        x = drop(x, deterministic=deterministic)
+        pos = drop(pos, deterministic=deterministic)
+        return x, pos

@@ -99,10 +99,26 @@ class ASRTask:
             getattr(config, "postencoder_conf", {}),
         )
         if model_name == "pit_espnet":
-            raise NotImplementedError(
-                "model 'pit_espnet' (multi-speaker permutation-invariant "
-                "training) is not implemented; 'espnet' and 'maskctc' cover "
-                "the reference's shipped configs"
+            from tailored_avsr_tpu.models.pit_model import PITASRModel
+
+            return PITASRModel(
+                num_inf=int(model_conf.get("num_inf", 2)),
+                num_ref=int(model_conf.get("num_ref", 2)),
+                vocab_size=vocab_size,
+                encoder=encoder,
+                ctc=ctc,
+                decoder=decoder,
+                preencoder=preencoder,
+                postencoder=postencoder,
+                frontend=frontend,
+                specaug=specaug,
+                normalize=normalize,
+                ctc_weight=ctc_weight,
+                ignore_id=int(model_conf.get("ignore_id", -1)),
+                lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
+                length_normalized_loss=bool(
+                    model_conf.get("length_normalized_loss", False)
+                ),
             )
         model_cls = {"espnet": ASRModel, "maskctc": MaskCTCModel}[model_name]
         return model_cls(

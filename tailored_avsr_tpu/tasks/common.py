@@ -124,10 +124,14 @@ def build_encoder(name: str, conf: Dict, vocab_size: Optional[int] = None):
             "contextual_block_*/rnn/vgg_rnn"
         )
     elif name == "transformer_multispkr":
-        raise NotImplementedError(
-            "multi-speaker (PIT) encoder is not implemented; single-speaker "
-            "encoders cover the reference's shipped configs"
+        from tailored_avsr_tpu.models.transformer_encoder import (
+            MultiSpeakerTransformerEncoder,
         )
+
+        conf.setdefault("pos_enc_layer_type", "abs_pos")
+        conf.setdefault("attention_layer_type", "selfattn")
+        conf.setdefault("ffn_activation_type", "relu")
+        cls = MultiSpeakerTransformerEncoder
     else:
         raise ValueError(f"unknown encoder: {name}")
     return cls(**filter_conf(cls, conf, vocab_size=vocab))
@@ -135,7 +139,9 @@ def build_encoder(name: str, conf: Dict, vocab_size: Optional[int] = None):
 
 def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size: int):
     from tailored_avsr_tpu.models.decoder import (
+        DynamicConv2DDecoder,
         DynamicConvDecoder,
+        LightConv2DDecoder,
         LightConvDecoder,
         MLMDecoder,
         SimTDecoder,
@@ -151,6 +157,8 @@ def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size
         "sim_t_mlm": SimTMLMDecoder,
         "lightweight_conv": LightConvDecoder,
         "dynamic_conv": DynamicConvDecoder,
+        "lightweight_conv2d": LightConv2DDecoder,
+        "dynamic_conv2d": DynamicConv2DDecoder,
     }
     if name == "rnn":
         from tailored_avsr_tpu.models.rnn_decoder import RNNDecoder
@@ -160,11 +168,6 @@ def build_decoder(name: str, conf: Optional[Dict], vocab_size: int, encoder_size
                 RNNDecoder, conf, vocab_size=vocab_size,
                 encoder_output_size=encoder_size,
             )
-        )
-    if name in ("lightweight_conv2d", "dynamic_conv2d"):
-        raise NotImplementedError(
-            f"decoder '{name}' (2D conv over time x feature) is not "
-            "implemented; use the 1D variants 'lightweight_conv'/'dynamic_conv'"
         )
     if name in ("whisper", "hugging_face_transformers"):
         raise NotImplementedError(

@@ -34,6 +34,29 @@ def test_branchformer_abs_pos_variants(att, pos):
     assert out.shape[-1] == 32 and np.isfinite(np.asarray(out)).all()
 
 
+def test_branchformer_legacy_rel_pos():
+    """rel_pos_type='legacy' selects the pre-2020 (1, T, D) table + legacy
+    shift; the encoder runs and differs numerically from the latest variant
+    under identical params."""
+    key = jax.random.PRNGKey(5)
+    kw = dict(
+        output_size=32, attention_heads=4, linear_units=48,
+        cgmlp_linear_units=48, cgmlp_conv_kernel=7, num_blocks=2,
+        input_layer="conv2d", dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_layer_type="rel_selfattn", pos_enc_layer_type="rel_pos",
+    )
+    legacy = BranchformerEncoder(rel_pos_type="legacy", **kw)
+    latest = BranchformerEncoder(rel_pos_type="latest", **kw)
+    x = jax.random.normal(key, (2, 37, 20))
+    ilens = jnp.array([37, 25])
+    params = legacy.init(key, x, ilens)
+    out_leg, olens, _ = legacy.apply(params, x, ilens)
+    assert out_leg.shape[-1] == 32 and np.isfinite(np.asarray(out_leg)).all()
+    # identical param tree -> loadable either way, but different numerics
+    out_new, _, _ = latest.apply(params, x, ilens)
+    assert not np.allclose(np.asarray(out_leg), np.asarray(out_new), atol=1e-3)
+
+
 def test_tailored_fast_selfattn():
     key = jax.random.PRNGKey(1)
     enc = TailoredEncoder(

@@ -73,3 +73,27 @@ def test_relpos_attention_flash_flag_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got[1, :13]), np.asarray(want[1, :13]), atol=3e-5
     )
+
+
+def test_flash_relpos_inkernel_matches_reference():
+    """flash_attention_relpos (in-kernel Toeplitz via barrel shifter) ==
+    rel_shift(q_v @ p^T) bias reference, including multi-tile diagonals."""
+    from tailored_avsr_tpu.ops.attention import rel_shift
+    from tailored_avsr_tpu.ops.flash_attention import flash_attention_relpos
+    from tailored_avsr_tpu.ops.posenc import rel_pos_table
+
+    key = jax.random.PRNGKey(4)
+    b, h, t, dk = 2, 2, 200, 32  # t > 128 exercises ki != qi diagonals
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, h, t, dk))
+    k = jax.random.normal(ks[1], (b, h, t, dk))
+    v = jax.random.normal(ks[2], (b, h, t, dk))
+    qv = jax.random.normal(ks[3], (b, h, t, dk))
+    pos = jax.random.normal(ks[4], (h, 2 * t - 1, dk)) * 0.5
+    mask = jnp.arange(t)[None, :] < jnp.array([t, 130])[:, None]
+    bias = rel_shift(jnp.einsum("bhqd,hkd->bhqk", qv, pos))
+    want = reference_attention(q, k, v, bias, mask)
+    got = flash_attention_relpos(q, k, v, qv, pos, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+    # sanity: rel_pos_table provides the (2T-1) layout this kernel consumes
+    assert rel_pos_table(t, dk).shape == (2 * t - 1, dk)

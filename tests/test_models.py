@@ -448,6 +448,8 @@ from tailored_avsr_tpu.tasks.common import build_decoder  # noqa: E402
     [
         ("lightweight_conv", {"kernel_size": 3}),
         ("dynamic_conv", {"kernel_size": 3}),
+        ("lightweight_conv2d", {"kernel_size": 3}),
+        ("dynamic_conv2d", {"kernel_size": 3, "conv_usebias": True}),
         ("rnn", {"hidden_size": 16, "num_layers": 2, "att_dim": 12,
                  "aconv_chans": 4, "aconv_filts": 3}),
         ("s4", {"d_state": 8}),
@@ -476,10 +478,45 @@ def test_registry_decoders(name, conf):
 
 
 def test_gated_decoders():
-    for name in ("lightweight_conv2d", "dynamic_conv2d", "whisper",
-                  "hugging_face_transformers"):
+    for name in ("whisper", "hugging_face_transformers"):
         with pytest.raises(NotImplementedError):
             build_decoder(name, {}, 11, 16)
+
+
+def test_lightconv2d_matches_bruteforce():
+    """The vectorized 2D (time x feature) conv equals the nested-loop
+    definition: causal in time, 'same'-padded in feature, softmax-normalized
+    kernel shared across wshare channel groups."""
+    from tailored_avsr_tpu.models.decoder import ConvDecoderLayer
+
+    key = jax.random.PRNGKey(3)
+    B, T, D2, K, W = 2, 6, 8, 3, 2
+    layer = ConvDecoderLayer(size=D2, kernel_size=K, two_dim=True, wshare=W,
+                             dropout_rate=0.0)
+    h = jax.random.normal(key, (B, T, D2))
+    mem = jax.random.normal(key, (B, 4, D2))
+    params = layer.init(key, h, None, mem, jnp.ones((B, 4), bool))
+    y = layer.apply(params, h, True, method="_conv")
+
+    p = params["params"]
+    x = h @ p["glu_proj"]["kernel"] + p["glu_proj"]["bias"]
+    x = np.asarray(x[..., :D2] * jax.nn.sigmoid(x[..., D2:]))
+    w = np.asarray(jax.nn.softmax(p["conv_weight"], -1)).reshape(W, K, K)
+    ref = np.zeros((B, T, D2))
+    pf = K // 2
+    for b in range(B):
+        for t in range(T):
+            for d in range(D2):
+                g = d // (D2 // W)
+                for i in range(K):  # time tap i reads t - (K-1) + i
+                    for j in range(K):  # feature tap j reads d - pf + j
+                        ti, dj = t - (K - 1) + i, d - pf + j
+                        if 0 <= ti and 0 <= dj < D2:
+                            ref[b, t, d] += w[g, i, j] * x[b, ti, dj]
+    ref = ref @ np.asarray(p["out_proj"]["kernel"]) + np.asarray(
+        p["out_proj"]["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
 
 
 def test_asr_model_with_rnn_decoder():
@@ -531,3 +568,103 @@ def test_s4d_layer_matches_explicit_recurrence():
             y_ref[b, t] = 2 * np.real(np.sum(cc * h, -1)) + d_skip * un[b, t]
     y_ref = y_ref / (1 + np.exp(-y_ref))  # silu
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# multi-speaker PIT path (reference registers espnet's pit_espnet model +
+# transformer_multispkr encoder, src/tasks/asr.py:47-49, 125-134)
+# ---------------------------------------------------------------------------
+
+
+def test_multispeaker_encoder_shapes():
+    from tailored_avsr_tpu.tasks.common import build_encoder
+
+    key = jax.random.PRNGKey(11)
+    enc = build_encoder(
+        "transformer_multispkr",
+        {"output_size": D, "attention_heads": 4, "linear_units": 48,
+         "num_blocks": 2, "num_blocks_sd": 1, "num_inf": 2,
+         "input_layer": "conv2d", "dropout_rate": 0.0,
+         "positional_dropout_rate": 0.0},
+    )
+    x = jax.random.normal(key, (2, 37, 20))
+    ilens = jnp.array([37, 25])
+    params = enc.init(key, x, ilens)
+    out, olens, _ = enc.apply(params, x, ilens)
+    assert out.shape[:2] == (2, 2) and out.shape[-1] == D
+    assert np.isfinite(np.asarray(out)).all()
+    # speaker-dependent stacks have distinct params -> branches differ
+    assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]))
+
+
+def test_pit_model_permutation_invariance():
+    """The PIT loss must be invariant to the order in which the reference
+    transcripts arrive (that is the whole point of PIT)."""
+    from tailored_avsr_tpu.models.pit_model import PITASRModel
+    from tailored_avsr_tpu.tasks.common import build_encoder
+
+    key = jax.random.PRNGKey(12)
+    enc = build_encoder(
+        "transformer_multispkr",
+        {"output_size": D, "attention_heads": 4, "linear_units": 48,
+         "num_blocks": 1, "num_blocks_sd": 1, "num_inf": 2,
+         "input_layer": "conv2d", "dropout_rate": 0.0,
+         "positional_dropout_rate": 0.0},
+    )
+    dec = TransformerDecoder(
+        vocab_size=V, encoder_output_size=D, attention_heads=4,
+        linear_units=48, num_blocks=1, dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+    )
+    model = PITASRModel(
+        num_inf=2, num_ref=2, vocab_size=V, encoder=enc, ctc=CTCHead(V),
+        decoder=dec, ctc_weight=0.3, lsm_weight=0.1,
+    )
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array(
+        [[[1, 2, 3, -1], [4, 5, -1, -1]], [[6, 7, -1, -1], [8, -1, -1, -1]]]
+    )
+    tlens = jnp.array([[3, 2], [2, 1]])
+    params = model.init(key, feats, flens, text, tlens)
+    loss1, stats = model.apply(params, feats, flens, text, tlens)
+    assert np.isfinite(float(loss1))
+    assert "loss_att" in stats and "loss_ctc" in stats
+    # swap the speaker order of the references: loss must not change
+    loss2, _ = model.apply(params, feats, flens, text[:, ::-1], tlens[:, ::-1])
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+def test_pit_model_via_task_factory():
+    from argparse import Namespace
+
+    from tailored_avsr_tpu.tasks import ASRTask
+
+    cfg = Namespace(
+        task="asr",
+        tokens={"token_list_path": None, "token_type": "char"},
+        frontend="none",
+        encoder="transformer_multispkr",
+        encoder_conf={"output_size": D, "attention_heads": 4,
+                      "linear_units": 48, "num_blocks": 1, "num_blocks_sd": 1,
+                      "num_inf": 2, "input_layer": "conv2d",
+                      "dropout_rate": 0.0},
+        decoder="transformer",
+        decoder_conf={"attention_heads": 4, "linear_units": 48,
+                      "num_blocks": 1},
+        model="pit_espnet",
+        model_conf={"ctc_weight": 0.5, "num_inf": 2, "num_ref": 2},
+        input_size=20,
+    )
+    token_list = [f"t{i}" for i in range(V)]
+    model = ASRTask.build_model(cfg, token_list)
+    key = jax.random.PRNGKey(13)
+    feats = jax.random.normal(key, (2, 33, 20))
+    flens = jnp.array([33, 21])
+    text = jnp.array(
+        [[[1, 2, 3, -1], [4, 5, -1, -1]], [[6, 7, -1, -1], [8, -1, -1, -1]]]
+    )
+    tlens = jnp.array([[3, 2], [2, 1]])
+    params = model.init(key, feats, flens, text, tlens)
+    loss, _ = model.apply(params, feats, flens, text, tlens)
+    assert np.isfinite(float(loss))

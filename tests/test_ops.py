@@ -48,6 +48,41 @@ def test_rel_shift_semantics():
             assert out[0, 0, i, j] == (t - 1) - i + j
 
 
+def test_legacy_rel_shift_semantics():
+    """Legacy shift: out[i, j] = x[i, t-1-(i-j)] wherever j <= i (the only
+    entries the legacy formulation defines; its pos table has no negative
+    distances)."""
+    from tailored_avsr_tpu.ops.attention import legacy_rel_shift
+
+    b, h, t = 1, 1, 5
+    x = jnp.arange(t * t, dtype=jnp.float32).reshape(1, 1, t, t)
+    out = legacy_rel_shift(x)
+    for i in range(t):
+        for j in range(i + 1):
+            assert out[0, 0, i, j] == x[0, 0, i, t - 1 - (i - j)]
+
+
+def test_legacy_relpos_attention():
+    """legacy=True consumes the (1, T, D) LegacyRelPositionalEncoding table and
+    still respects key masking."""
+    from tailored_avsr_tpu.ops.posenc import LegacyRelPositionalEncoding
+
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (2, 6, 16))
+    pos = LegacyRelPositionalEncoding(dropout_rate=0.0)
+    pvars = pos.init(key, x)
+    xs, pos_emb = pos.apply(pvars, x)
+    assert pos_emb.shape == (1, 6, 16)
+    mask = make_valid_mask(jnp.array([4, 6]), 6)
+    mha = RelPositionMultiHeadedAttention(num_heads=4, legacy=True)
+    params = mha.init(key, xs, xs, xs, pos_emb, mask)
+    out = mha.apply(params, xs, xs, xs, pos_emb, mask)
+    assert out.shape == x.shape
+    x2 = xs.at[0, 4:].set(50.0)
+    out2 = mha.apply(params, x2, x2, x2, pos_emb, mask)
+    np.testing.assert_allclose(out[0, :4], out2[0, :4], atol=1e-4)
+
+
 def test_rel_pos_table_layout():
     t, d = 5, 8
     tab = rel_pos_table(t, d)
