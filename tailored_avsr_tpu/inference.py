@@ -65,6 +65,12 @@ class Speech2Text:
         )
         self.maskctc_n_iterations = int(inf.get("maskctc_n_iterations", 10))
         self.maskctc_threshold = float(inf.get("maskctc_threshold_probability", 0.999))
+        # 'label_sync' = joint CTC/attention beam (decode/beam_search.py);
+        # 'timesync' = frame-synchronous CTC prefix beam search + one batched
+        # attention/LM rescoring pass (espnet BeamSearchTimeSync capability,
+        # ref avsr_inference.py:33-41, in its TPU-friendly U2-style form)
+        self.decode_mode = str(inf.get("decode_mode", "label_sync"))
+        self.pre_beam = int(inf.get("pre_beam", self.beam_config.beam_size))
         # device-side input normalization: inputs may arrive quantized (uint8
         # video straight from the ROI files, int16 audio) to cut host->device
         # bandwidth 4x / 2x; the jit graph undoes the quantization with these
@@ -222,6 +228,45 @@ class Speech2Text:
                     res.tokens[:, None], res.lengths[:, None],
                     jnp.zeros(res.lengths.shape)[:, None],
                 )
+            if self.decode_mode == "timesync":
+                from tailored_avsr_tpu.decode.ctc_timesync import (
+                    ctc_timesync_beam_search,
+                )
+
+                k = cfg.beam_size
+                toks, tlens, cscores = ctc_timesync_beam_search(
+                    ctc_logp, enc_lens, beam_size=k,
+                    pre_beam=min(self.pre_beam, model.vocab_size - 1),
+                    max_len=max(2, enc_out.shape[1]), penalty=cfg.penalty,
+                )
+                score = cfg.ctc_weight * cscores
+                att_w = 1.0 - cfg.ctc_weight
+                bsz, _, lmax = toks.shape
+                flat = toks.reshape(bsz * k, lmax)
+                flens = tlens.reshape(-1)
+                # ignore-pad beyond each hypothesis length for nll()
+                flat = jnp.where(
+                    jnp.arange(lmax)[None, :] < flens[:, None], flat, -1
+                )
+                if model.decoder is not None and att_w > 0:
+                    nll = model.apply(
+                        variables,
+                        jnp.repeat(enc_out, k, axis=0),
+                        jnp.repeat(enc_lens, k, axis=0),
+                        flat, flens, method="nll",
+                    )
+                    score = score + att_w * (-nll.reshape(bsz, k))
+                if lm is not None and cfg.lm_weight > 0:
+                    lm_nll, _ = lm.apply(
+                        lm_vars, flat, flens, method="nll"
+                    )
+                    score = score + cfg.lm_weight * (-lm_nll.reshape(bsz, k))
+                order = jnp.argsort(-score, axis=1)
+                toks = jnp.take_along_axis(toks, order[:, :, None], axis=1)
+                tlens = jnp.take_along_axis(tlens, order, axis=1)
+                score = jnp.take_along_axis(score, order, axis=1)
+                return toks, tlens, score
+
             mem_mask = make_valid_mask(enc_lens, enc_out.shape[1])
             k = cfg.beam_size
             n = enc_out.shape[0] * k
@@ -339,7 +384,11 @@ class Speech2Text:
         [(text, tokens, ids, score)] sorted best-first (the reference's
         Speech2Text.__call__ nbest contract, avsr_inference.py:365-517)."""
         tokens, lengths, scores = self._decode_arrays(batch)
-        no_sos = self.is_maskctc or self.model.joint_network is not None
+        no_sos = (
+            self.is_maskctc
+            or self.model.joint_network is not None
+            or self.decode_mode == "timesync"
+        )
         results = []
         for i in range(tokens.shape[0]):
             hyps = []
