@@ -1,0 +1,89 @@
+"""Chunked streaming over the contextual-block encoder == offline batch run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tailored_avsr_tpu.decode.streaming import ContextualBlockStreamer
+from tailored_avsr_tpu.models.asr_model import ASRModel
+from tailored_avsr_tpu.models.ctc import CTCHead
+from tailored_avsr_tpu.tasks.common import build_encoder
+
+V, D, F = 7, 16, 20
+
+
+def make_model(layer="contextual_block_transformer", input_layer="conv2d"):
+    enc = build_encoder(layer, {
+        "output_size": D, "attention_heads": 2, "linear_units": 24,
+        "num_blocks": 2, "block_size": 8, "hop_size": 4,
+        "input_layer": input_layer, "dropout_rate": 0.0,
+        "positional_dropout_rate": 0.0,
+    })
+    return ASRModel(vocab_size=V, encoder=enc, ctc=CTCHead(V), ctc_weight=1.0)
+
+
+@pytest.mark.parametrize("layer", [
+    "contextual_block_transformer", "contextual_block_conformer",
+])
+def test_streaming_matches_batch(layer):
+    key = jax.random.PRNGKey(0)
+    model = make_model(layer)
+    B, T = 2, 245  # odd length: exercises subsampling + partial-tail flush
+    feats = jax.random.normal(key, (B, T, F))
+    flens = jnp.full((B,), T)
+    text = jnp.array([[1, 2, -1], [3, -1, -1]])
+    variables = model.init(key, feats, flens, text, jnp.array([2, 1]))
+    want, olens, _ = model.apply(variables, feats, flens, method="encode")
+    want = np.asarray(want)
+
+    st = ContextualBlockStreamer(model, variables)
+    st.reset(B)
+    got, got_ids = [], []
+    np_feats = np.asarray(feats)
+    cuts = [0, 37, 101, 151, 164, 245]  # irregular chunk sizes
+    for a, b in zip(cuts, cuts[1:]):
+        y, ids = st.accept(np_feats[:, a:b])
+        got.append(y), got_ids.append(ids)
+    y, ids = st.finalize()
+    got.append(y), got_ids.append(ids)
+    got = np.concatenate(got, axis=1)
+    got_ids = np.concatenate(got_ids, axis=1)
+
+    assert got.shape[1] == int(olens[0]) == want.shape[1]
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # greedy ids agree with the batch CTC argmax
+    batch_ids = model.apply(
+        variables, jnp.asarray(want), method=lambda m, x: m.ctc.argmax(x)
+    )
+    np.testing.assert_array_equal(got_ids, np.asarray(batch_ids))
+
+
+def test_streaming_linear_input_layer():
+    key = jax.random.PRNGKey(1)
+    model = make_model(input_layer="linear")
+    B, T = 1, 30
+    feats = jax.random.normal(key, (B, T, F))
+    flens = jnp.full((B,), T)
+    variables = model.init(key, feats, flens, jnp.array([[1, -1]]), jnp.array([1]))
+    want, olens, _ = model.apply(variables, feats, flens, method="encode")
+    st = ContextualBlockStreamer(model, variables)
+    st.reset(B)
+    parts = [np.asarray(st.accept(np.asarray(feats[:, a:b]))[0])
+             for a, b in [(0, 11), (11, 25), (25, 30)]]
+    parts.append(np.asarray(st.finalize()[0]))
+    got = np.concatenate(parts, axis=1)
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+
+
+def test_streaming_rejects_non_block_encoder():
+    key = jax.random.PRNGKey(2)
+    from tailored_avsr_tpu.models.branchformer import BranchformerEncoder
+
+    enc = BranchformerEncoder(output_size=D, attention_heads=2,
+                              linear_units=24, cgmlp_linear_units=24,
+                              cgmlp_conv_kernel=7, num_blocks=1,
+                              input_layer="conv2d", dropout_rate=0.0)
+    model = ASRModel(vocab_size=V, encoder=enc, ctc=CTCHead(V), ctc_weight=1.0)
+    with pytest.raises(ValueError):
+        ContextualBlockStreamer(model, {})
