@@ -66,6 +66,7 @@ def beam_search(
     lm_score_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
     blank_id: int = 0,
     att_state: Optional[object] = None,
+    att_gather_fn: Optional[Callable] = None,
 ) -> BeamSearchResult:
     """att_score_fn(ys (N, L+2), pos scalar) -> (N, V) step log-probs.
 
@@ -75,6 +76,9 @@ def beam_search(
     every leaf, e.g. a decoder KV cache) and make att_score_fn a stateful
     ``(ys, pos, state) -> (logp, new_state)``; the search threads the state
     through the loop and gathers its rows on every beam reorder.
+    ``att_gather_fn(state, g_src (N,), pos scalar) -> state`` overrides that
+    gather (e.g. the length-segmented cache skips dead segments); default is
+    a plain ``x[g_src]`` over every leaf.
     """
     b, t, v = ctc_logp.shape
     k = config.beam_size
@@ -191,7 +195,10 @@ def beam_search(
                 ctc_state, psi, r_new, cand_ids, g_src, sel_cand.reshape(n)
             )
         if stateful:
-            att_st = jax.tree_util.tree_map(lambda x: x[g_src], att_st)
+            if att_gather_fn is not None:
+                att_st = att_gather_fn(att_st, g_src, jnp.asarray(pos))
+            else:
+                att_st = jax.tree_util.tree_map(lambda x: x[g_src], att_st)
         return (new_ys, top_alive, ctc_state, att_st, fin_tokens, fin_scores,
                 fin_lengths)
 

@@ -71,6 +71,12 @@ class Speech2Text:
         # ref avsr_inference.py:33-41, in its TPU-friendly U2-style form)
         self.decode_mode = str(inf.get("decode_mode", "label_sync"))
         self.pre_beam = int(inf.get("pre_beam", self.beam_config.beam_size))
+        # length segments for the decoder's self-attn KV cache in the beam
+        # loop (per-step gather + attention skip segments beyond pos; exact).
+        # 1 = plain contiguous cache (default: measured faster at the beam-10
+        # batch-8 operating point, where ~50 lax.cond dispatches per step cost
+        # more than the skipped bandwidth; raise for long-sequence serving)
+        self.cache_segments = int(inf.get("cache_segments", 1))
         # device-side input normalization: inputs may arrive quantized (uint8
         # video straight from the ROI files, int16 audio) to cut host->device
         # bandwidth 4x / 2x; the jit graph undoes the quantization with these
@@ -80,6 +86,13 @@ class Speech2Text:
         self.video_mean = float(inf.get("video_mean", 0.421))
         self.video_std = float(inf.get("video_std", 0.165))
         self.quantize_audio = bool(inf.get("device_normalize", False))
+        # weight-only model quantization for decoding (the reference's
+        # quantize_asr_model/quantize_lm dynamic-quantization options,
+        # ref avsr_inference.py:100-139): int8 (or bf16) parameter storage,
+        # dequantized inside the jit graph (utils/quantize.py)
+        self.quantize_asr_model = bool(inf.get("quantize_asr_model", False))
+        self.quantize_lm = bool(inf.get("quantize_lm", False))
+        self.quantize_dtype = str(inf.get("quantize_dtype", "qint8"))
         self.ngram = None
         self.ngram_weight = float(inf.get("ngram_weight", 0.0))
         if ngram_path and self.ngram_weight > 0:
@@ -125,6 +138,18 @@ class Speech2Text:
         if self.lm is not None and self.lm_variables is None:
             dummy = jnp.zeros((1, 4), jnp.int32)
             self.lm_variables = self.lm.init(self._rng, dummy, jnp.array([4]))
+        if self.quantize_asr_model:
+            from tailored_avsr_tpu.utils.quantize import quantize_variables
+
+            self.variables = quantize_variables(
+                self.variables, self.quantize_dtype
+            )
+        if self.quantize_lm and self.lm_variables is not None:
+            from tailored_avsr_tpu.utils.quantize import quantize_variables
+
+            self.lm_variables = quantize_variables(
+                self.lm_variables, self.quantize_dtype
+            )
 
     def _model_args(self, batch: Dict) -> Tuple:
         if self.task == "avsr":
@@ -166,6 +191,10 @@ class Speech2Text:
         n_iter, thr = self.maskctc_n_iterations, self.maskctc_threshold
 
         def decode(variables, *args):
+            from tailored_avsr_tpu.utils.quantize import dequantize_variables
+
+            variables = dequantize_variables(variables)
+            lmv = dequantize_variables(lm_vars)
             args = self._dequantize(args)
             enc_out, enc_lens, _ = model.apply(variables, *args, method="encode")
             if model.joint_network is not None:
@@ -258,7 +287,7 @@ class Speech2Text:
                     score = score + att_w * (-nll.reshape(bsz, k))
                 if lm is not None and cfg.lm_weight > 0:
                     lm_nll, _ = lm.apply(
-                        lm_vars, flat, flens, method="nll"
+                        lmv, flat, flens, method="nll"
                     )
                     score = score + cfg.lm_weight * (-lm_nll.reshape(bsz, k))
                 order = jnp.argsort(-score, axis=1)
@@ -282,7 +311,9 @@ class Speech2Text:
                 use_cache and lm is not None and cfg.lm_weight > 0 and att_w > 0
             )
             if use_cache:
-                # KV-cache fast path: cross-attn K/V once, O(1) per step
+                # KV-cache fast path: cross-attn K/V once, O(1) per step;
+                # the self-attn cache is length-segmented so the per-step
+                # reorder gather and attention skip segments beyond pos
                 mem_kv = model.apply(
                     variables, enc_out,
                     method=lambda m, mem: m.decoder.precompute_memory(mem),
@@ -291,12 +322,23 @@ class Speech2Text:
                     lambda x: jnp.repeat(x, k, axis=0), mem_kv
                 )
                 mm_rep = jnp.repeat(mem_mask, k, axis=0)
-                dec_cache = model.decoder.init_cache(
-                    n, enc_out.shape[1], dtype=enc_out.dtype
+                n_seg = max(1, min(self.cache_segments, enc_out.shape[1]))
+                seg_cache = n_seg > 1
+                if seg_cache:
+                    dec_cache = model.decoder.init_cache_seg(
+                        n, enc_out.shape[1], dtype=enc_out.dtype,
+                        num_segments=n_seg,
+                    )
+                else:
+                    dec_cache = model.decoder.init_cache(
+                        n, enc_out.shape[1], dtype=enc_out.dtype
+                    )
+                step_method = (
+                    "score_step_cached_seg" if seg_cache else "score_step_cached"
                 )
                 if fold_lm:
                     lm_cache = lm.apply(
-                        lm_vars, n, enc_out.shape[1] + 2,
+                        lmv, n, enc_out.shape[1] + 2,
                         method=lambda m, *a: m.init_cache(*a),
                     )
                     att_state = {"dec": dec_cache, "lm": lm_cache}
@@ -305,10 +347,10 @@ class Speech2Text:
                     def att_fn(ys, pos, state):
                         dec_lp, dec_c = model.apply(
                             variables, mem_kv, mm_rep, ys, pos, state["dec"],
-                            method=lambda m, *a: m.decoder.score_step_cached(*a),
+                            method=lambda m, *a: getattr(m.decoder, step_method)(*a),
                         )
                         lm_lp, lm_c = lm.apply(
-                            lm_vars, ys, pos, state["lm"],
+                            lmv, ys, pos, state["lm"],
                             method="score_step_cached",
                         )
                         if ngram is not None and ngram_w > 0:
@@ -324,10 +366,27 @@ class Speech2Text:
                     def att_fn(ys, pos, cache):
                         return model.apply(
                             variables, mem_kv, mm_rep, ys, pos, cache,
-                            method=lambda m, *a: m.decoder.score_step_cached(*a),
+                            method=lambda m, *a: getattr(m.decoder, step_method)(*a),
                         )
+                from tailored_avsr_tpu.models.decoder import TransformerDecoder
+
+                if not seg_cache:
+                    att_gather_fn = None
+                elif fold_lm:
+                    def att_gather_fn(state, g_src, pos):
+                        return {
+                            "dec": TransformerDecoder.gather_cache_seg(
+                                state["dec"], g_src, pos
+                            ),
+                            "lm": jax.tree_util.tree_map(
+                                lambda x: x[g_src], state["lm"]
+                            ),
+                        }
+                else:
+                    att_gather_fn = TransformerDecoder.gather_cache_seg
             else:
                 att_state = None
+                att_gather_fn = None
 
                 def att_fn(ys, pos):
                     rep = ys.shape[0] // enc_out.shape[0]
@@ -340,7 +399,7 @@ class Speech2Text:
             lm_fn = None
             if lm is not None and cfg.lm_weight > 0 and not fold_lm:
                 def lm_fn(ys, pos):  # noqa: E306
-                    out = lm.apply(lm_vars, ys, pos, method="score_step")
+                    out = lm.apply(lmv, ys, pos, method="score_step")
                     if ngram is not None:
                         # fold the n-gram in, rescaled onto the lm weight
                         out = out + (ngram_w / cfg.lm_weight) * ngram.score_step(ys, pos)
@@ -352,6 +411,7 @@ class Speech2Text:
             res = beam_search(
                 att_fn, ctc_logp, enc_lens, model.sos, model.eos, cfg,
                 lm_score_fn=lm_fn, att_state=att_state,
+                att_gather_fn=att_gather_fn,
             )
             return res.tokens, res.lengths, res.scores
 
@@ -477,9 +537,12 @@ class Speech2Text:
         if key not in self._decode_jit:
             # one jitted graph per bucket shape (a fresh jit(lambda) per call
             # would re-trace and re-compile every time)
+            from tailored_avsr_tpu.utils.quantize import dequantize_variables
+
             self._decode_jit[key] = jax.jit(
                 lambda v, *a: self.model.apply(
-                    v, *self._dequantize(a), method="ctc_greedy"
+                    dequantize_variables(v), *self._dequantize(a),
+                    method="ctc_greedy",
                 )
             )
         ids, lens = self._decode_jit[key](self.variables, *args)

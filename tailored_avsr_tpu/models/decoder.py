@@ -414,6 +414,103 @@ class TransformerDecoder(_DecoderBase):
             for _ in range(self.num_blocks)  # callable outside apply
         ]
 
+    # Length-segmented cache: the beam loop's per-step cost on a plain cache
+    # is proportional to max_len (gather on reorder + attention read), but
+    # only rows [0:pos] are live. Splitting the length axis into segments and
+    # guarding each with lax.cond on the scalar step index makes both the
+    # gather and the attention skip segments entirely beyond pos — exact,
+    # and the average traffic halves (docs/ROADMAP.md item 3).
+
+    def init_cache_seg(self, n: int, max_len: int, dtype=jnp.float32,
+                       num_segments: int = 4):
+        d = self.encoder_output_size
+        h, dk = self.attention_heads, d // self.attention_heads
+        seg = -(-max_len // num_segments)
+        return [
+            tuple(
+                tuple(
+                    jnp.zeros((n, h, seg, dk), dtype)
+                    for _ in range(num_segments)
+                )
+                for _ in range(2)  # (K segments, V segments)
+            )
+            for _ in range(self.num_blocks)
+        ]
+
+    @staticmethod
+    def gather_cache_seg(cache, g_src, pos):
+        """Beam-reorder gather that skips segments beyond ``pos`` (scalar)."""
+        out = []
+        for (ks, vs) in cache:
+            seg = ks[0].shape[2]
+            def sel(x, lo):
+                return jax.lax.cond(
+                    pos > lo, lambda a: a[g_src], lambda a: a, x
+                )
+            out.append((
+                tuple(sel(x, i * seg) for i, x in enumerate(ks)),
+                tuple(sel(x, i * seg) for i, x in enumerate(vs)),
+            ))
+        return out
+
+    def score_step_cached_seg(
+        self,
+        mem_kv,
+        memory_mask: Optional[jnp.ndarray],
+        ys: jnp.ndarray,  # (N, L)
+        pos: jnp.ndarray,  # scalar
+        cache,  # list over layers of (K segments, V segments)
+    ):
+        """Segmented-cache twin of ``score_step_cached`` (same numerics)."""
+        assert self.layer_variant == "transformer"
+        n, l = ys.shape
+        tok = jnp.take_along_axis(
+            ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
+        )
+        x = self.embed_tok(tok)
+        seg = cache[0][0][0].shape[2]
+        lc = seg * len(cache[0][0])
+        x = self.pos_enc.at_position(x, pos - 1, lc)
+        idx = pos - 1
+        new_cache = []
+        for layer, (mk, mv), (ks, vs) in zip(self.layers, mem_kv, cache):
+            h = layer.norm1(x)
+            k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
+
+            def upd(args, off):
+                kseg, vseg = args
+                return (
+                    jax.lax.dynamic_update_slice_in_dim(
+                        kseg, k_new.astype(kseg.dtype), off, axis=2
+                    ),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        vseg, v_new.astype(vseg.dtype), off, axis=2
+                    ),
+                )
+
+            ks2, vs2 = [], []
+            for si, (kseg, vseg) in enumerate(zip(ks, vs)):
+                lo = si * seg
+                kseg, vseg = jax.lax.cond(
+                    (idx >= lo) & (idx < lo + seg),
+                    lambda a, lo=lo: upd(a, idx - lo),
+                    lambda a: a,
+                    (kseg, vseg),
+                )
+                ks2.append(kseg)
+                vs2.append(vseg)
+            x = x + layer.self_attn.attend_kv_segmented(
+                h, ks2, vs2, pos, seg
+            )
+            h = layer.norm2(x)
+            x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)
+            h = layer.norm3(x)
+            x = x + layer.feed_forward(h, deterministic=True)
+            new_cache.append((tuple(ks2), tuple(vs2)))
+        x = self.after_norm(x)
+        logits = self.output_layer(x) if self.use_output_layer else x
+        return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), new_cache
+
     def score_step_cached(
         self,
         mem_kv,  # list of per-layer (K, V) from precompute_memory

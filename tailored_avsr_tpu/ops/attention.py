@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tailored_avsr_tpu.ops.masking import MASK_MIN
@@ -122,6 +123,57 @@ class MultiHeadedAttention(nn.Module):
         attn = _masked_softmax(scores, mask).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], 1, d)
+        return self.linear_out(out)
+
+    def attend_kv_segmented(
+        self,
+        query: jnp.ndarray,  # (B, 1, D) single-step query input
+        k_segs,  # sequence of (B, H, S, dk) cached key segments
+        v_segs,  # sequence of (B, H, S, dk) cached value segments
+        pos: jnp.ndarray,  # scalar: number of valid cache rows
+        seg_len: int,
+    ) -> jnp.ndarray:
+        """Single-query attention over a length-segmented KV cache.
+
+        Online-softmax accumulation over segments; each segment is guarded by
+        ``lax.cond(pos > lo, ...)`` on the scalar position, so segments
+        entirely beyond the live prefix cost nothing — numerics identical to
+        ``attend_kv`` over the concatenated cache.
+        """
+        d = query.shape[-1]
+        dk = d // self.num_heads
+        q = self._heads(self.linear_q(query))  # (B, H, 1, dk)
+        bsz, h = q.shape[0], q.shape[1]
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
+        m = jnp.full((bsz, h, 1, 1), MASK_MIN, jnp.float32)
+        lsum = jnp.zeros((bsz, h, 1, 1), jnp.float32)
+        acc = jnp.zeros((bsz, h, 1, dk), jnp.float32)
+
+        for si, (k, v) in enumerate(zip(k_segs, v_segs)):
+            lo = si * seg_len
+
+            def compute(carry, k=k, v=v, lo=lo):
+                m, lsum, acc = carry
+                s = (
+                    jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+                    * scale
+                )  # (B, H, 1, S)
+                valid = (jnp.arange(seg_len) + lo < pos)[None, None, None, :]
+                s = jnp.where(valid, s, MASK_MIN)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new) * valid
+                corr = jnp.exp(m - m_new)
+                lsum2 = lsum * corr + jnp.sum(p, axis=-1, keepdims=True)
+                acc2 = acc * corr + jnp.einsum(
+                    "bhqk,bhkd->bhqd", p.astype(v.dtype), v
+                ).astype(jnp.float32)
+                return m_new, lsum2, acc2
+
+            m, lsum, acc = jax.lax.cond(
+                pos > lo, compute, lambda c: c, (m, lsum, acc)
+            )
+        out = (acc / jnp.maximum(lsum, 1e-30)).astype(query.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(bsz, 1, d)
         return self.linear_out(out)
 
     def apply_scores(

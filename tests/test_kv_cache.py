@@ -154,3 +154,83 @@ def test_speech2text_folded_lm_fusion_smoke(tmp_path):
     object.__setattr__(s2t2.model.decoder, "layer_variant", "no_cache_test")
     res_stateless = s2t2(batch)
     assert [r[0] for r in res_folded] == [r[0] for r in res_stateless]
+
+
+def test_segmented_cache_matches_plain():
+    """score_step_cached_seg + gather_cache_seg == plain score_step_cached +
+    full gather, across steps with beam reordering."""
+    key = jax.random.PRNGKey(9)
+    V2, D2, N, L = 9, 16, 4, 11
+    dec = TransformerDecoder(
+        vocab_size=V2, encoder_output_size=D2, attention_heads=4,
+        linear_units=24, num_blocks=2, dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+    )
+    mem = jax.random.normal(key, (N, 7, D2))
+    mmask = jnp.ones((N, 7), bool)
+    ys = jnp.zeros((N, L), jnp.int32).at[:, 0].set(V2 - 1)
+    params = dec.init(key, mem, mmask, ys, jnp.full((N,), 1))
+    mem_kv = dec.apply(params, mem, method="precompute_memory")
+    cache_p = dec.init_cache(N, L)
+    cache_s = dec.apply(params, N, L, jnp.float32, 3, method="init_cache_seg")
+    rng = np.random.RandomState(0)
+    for pos in range(1, 7):
+        lp_p, cache_p = dec.apply(params, mem_kv, mmask, ys, jnp.asarray(pos),
+                                  cache_p, method="score_step_cached")
+        lp_s, cache_s = dec.apply(params, mem_kv, mmask, ys, jnp.asarray(pos),
+                                  cache_s, method="score_step_cached_seg")
+        np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_p),
+                                   rtol=2e-4, atol=2e-5)
+        tok = jnp.asarray(rng.randint(1, V2 - 1, size=(N,)))
+        ys = ys.at[:, pos].set(tok)
+        g_src = jnp.asarray(rng.permutation(N))
+        ys = ys[g_src]
+        cache_p = jax.tree_util.tree_map(lambda x: x[g_src], cache_p)
+        cache_s = TransformerDecoder.gather_cache_seg(
+            cache_s, g_src, jnp.asarray(pos)
+        )
+
+
+def test_speech2text_segmented_cache_config_matches_default(tmp_path):
+    """inference_conf cache_segments > 1 selects the segmented KV cache and
+    produces the same hypotheses as the default contiguous cache."""
+    import types
+    from tailored_avsr_tpu.inference import Speech2Text
+
+    tok = tmp_path / "tokens.txt"
+    tok.write_text("\n".join(["<blank>", "<unk>"] +
+                              [chr(65 + i) for i in range(6)] + ["<sos/eos>"]))
+    base = dict(
+        task="asr",
+        token_list=str(tok),
+        frontend="default",
+        frontend_conf={"n_fft": 512, "win_length": 400, "hop_length": 160,
+                       "n_mels": 20},
+        encoder="branchformer",
+        encoder_conf={"output_size": 24, "attention_heads": 4,
+                      "linear_units": 32, "cgmlp_linear_units": 32,
+                      "cgmlp_conv_kernel": 7, "num_blocks": 1,
+                      "input_layer": "conv2d", "dropout_rate": 0.0},
+        decoder="transformer",
+        decoder_conf={"attention_heads": 4, "linear_units": 32,
+                      "num_blocks": 1, "dropout_rate": 0.0},
+        model="espnet", model_conf={"ctc_weight": 0.3},
+        inference_conf={"beam_size": 2, "ctc_weight": 0.3},
+    )
+    rng = np.random.RandomState(1)
+    B, S = 2, 640 * 6
+    batch = {
+        "speech": (rng.randn(B, S) * 0.1).astype(np.float32),
+        "speech_lengths": np.full((B,), S, np.int32),
+        "text": np.ones((B, 4), np.int32),
+        "text_lengths": np.full((B,), 4, np.int32),
+    }
+    s1 = Speech2Text(types.SimpleNamespace(**base))
+    res_plain = s1(batch)
+    base2 = dict(base, inference_conf=dict(base["inference_conf"],
+                                           cache_segments=3))
+    s2 = Speech2Text(types.SimpleNamespace(**base2))
+    s2.ensure_params(batch)
+    s2.variables = s1.variables
+    res_seg = s2(batch)
+    assert [r[0] for r in res_plain] == [r[0] for r in res_seg]
