@@ -126,7 +126,8 @@ def run_training(args, config, tokenizer, converter, transforms):
         ("bfloat16", "bf16") else None
     )
     train_step = make_train_step(
-        model, tx, BATCH_KEYS[task], compute_dtype=compute_dtype
+        model, tx, BATCH_KEYS[task], compute_dtype=compute_dtype,
+        remat=bool((ts or {}).get("remat", False)),
     )
     eval_step = make_eval_step(model, BATCH_KEYS[task])
 
@@ -154,6 +155,22 @@ def run_training(args, config, tokenizer, converter, transforms):
         start_epoch = done_epoch + 1
         print(f"resumed training state after epoch {done_epoch} (step {int(state.step)})")
     val_stats = []
+    # preemption handling: on SIGTERM/SIGINT, finish the current step, save
+    # the full train state (params/opt/step), and exit — `--resume` restarts
+    # exactly where the run was killed (the reference has no preemption
+    # story; per-epoch checkpoints are its implicit recovery unit,
+    # SURVEY.md §5.3-5.4)
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+        print(f"\nsignal {signum}: will checkpoint and exit at the next step")
+
+    old_handlers = {
+        s: signal.signal(s, _on_term) for s in (signal.SIGTERM, signal.SIGINT)
+    }
     print("\nTRAINING PHASE\n")
     for epoch in range(start_epoch, ts["epochs"] + 1):
         t0 = time.time()
@@ -162,6 +179,15 @@ def run_training(args, config, tokenizer, converter, transforms):
             state, stats = train_step(state, batch_tuple(batch, task), rng)
             tot += float(stats["loss"])
             n += 1
+            if stop_requested["flag"]:
+                save_train_state(state, epoch - 1, ts_path)
+                print(
+                    f"preempted during epoch {epoch} after {n} steps: train "
+                    f"state saved to {ts_path}; rerun with --resume"
+                )
+                for s, h in old_handlers.items():
+                    signal.signal(s, h)
+                return
         train_loss = tot / max(n, 1)
         val_loss, val_cer = validation(val_loader)
         test_loss, test_cer = validation(test_loader)
@@ -179,6 +205,8 @@ def run_training(args, config, tokenizer, converter, transforms):
         val_stats.append({"epoch": epoch, "cer": val_cer, "path": ckpt})
         save_train_state(state, epoch, ts_path)
 
+    for s, h in old_handlers.items():
+        signal.signal(s, h)
     save_val_stats(
         os.path.join(args.output_dir, "val_stats.csv"),
         [{"epoch": r["epoch"], "cer": r["cer"]} for r in val_stats],

@@ -124,6 +124,17 @@ def get_tokenizer_converter(config):
                 return " ".join(tokens)
 
         tokenizer = WordTokenizer()
+    elif token_type == "phn":
+        raise NotImplementedError(
+            "token_type 'phn' needs an external grapheme-to-phoneme model "
+            "(espnet uses g2p_en/pyopenjtalk), unavailable in this "
+            "zero-egress build; use char/bpe/word"
+        )
+    elif token_type == "whisper":
+        raise NotImplementedError(
+            "token_type 'whisper' needs OpenAI Whisper's external tokenizer "
+            "assets, unavailable in this zero-egress build; use char/bpe/word"
+        )
     else:
         raise ValueError(f"unsupported token_type: {token_type}")
     converter = TokenIDConverter(token_list)

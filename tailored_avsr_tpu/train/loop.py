@@ -50,6 +50,7 @@ def make_train_step(
     batch_keys,
     donate: bool = True,
     compute_dtype=None,
+    remat: bool = False,
 ) -> Callable:
     """Returns jitted (state, batch_tuple, rng) -> (state, stats).
 
@@ -57,6 +58,11 @@ def make_train_step(
     master params are cast for the forward/backward (grad-of-cast casts the
     gradients back to f32), losses accumulate in f32 — the TPU-native
     replacement for the reference's dead AMP flag (SURVEY.md §2.4).
+
+    ``remat`` wraps the forward in ``jax.checkpoint`` (matmul outputs kept,
+    everything else rematerialized in the backward): activation memory drops
+    to ~the matmul outputs, buying larger per-chip batches at ~1/3 extra
+    forward FLOPs — the standard TPU memory/compute trade.
     """
 
     def _cast(tree):
@@ -93,6 +99,12 @@ def make_train_step(
             )
             new_bs = batch_stats
         return loss, (stats, new_bs)
+
+    if remat:
+        loss_fn = jax.checkpoint(
+            loss_fn,
+            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+        )
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

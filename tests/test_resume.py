@@ -85,3 +85,71 @@ def test_cli_resume(tmp_path):
         yaml.safe_dump(c, f)
     avsr_main.main(common + ["--resume"])
     assert os.path.exists(os.path.join(out_dir, "models", "model_003.ckpt"))
+
+
+def test_preemption_sigterm_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-epoch saves the full train state and exits; --resume then
+    completes the run (checkpoint-on-preemption, which the reference lacks)."""
+    import signal
+
+    import avsr_main
+    from tests.synthetic import make_synthetic_corpus
+    from tests.test_train_e2e import write_tiny_config
+
+    csv_path, token_path = make_synthetic_corpus(str(tmp_path / "corpus"), n=3)
+    cfg = write_tiny_config(tmp_path, token_path)
+    out_dir = str(tmp_path / "exp_preempt")
+    handlers = {}
+    real_signal = signal.signal
+    real_make = avsr_main.make_train_step
+    calls = {"n": 0}
+
+    def fake_signal(sig, h):
+        handlers[sig] = h
+
+    def make(*a, **k):
+        step = real_make(*a, **k)
+
+        def wrapped(*sa):
+            calls["n"] += 1
+            if calls["n"] == 2:  # "deliver" SIGTERM during the first epoch
+                handlers[signal.SIGTERM](signal.SIGTERM, None)
+            return step(*sa)
+
+        return wrapped
+
+    signal.signal = fake_signal
+    avsr_main.make_train_step = make
+    try:
+        avsr_main.main([
+            "--config-file", cfg,
+            "--training-dataset", csv_path,
+            "--validation-dataset", csv_path,
+            "--test-dataset", csv_path,
+            "--mode", "training",
+            "--output-dir", out_dir,
+            "--output-name", "preempt",
+        ])
+        ts_path = os.path.join(out_dir, "models", "train_state.ckpt")
+        assert os.path.exists(ts_path)
+        # preempted before finishing: no final average written
+        assert not os.path.exists(
+            os.path.join(out_dir, "models", "model_average.ckpt")
+        )
+        avsr_main.make_train_step = real_make
+        avsr_main.main([
+            "--config-file", cfg,
+            "--training-dataset", csv_path,
+            "--validation-dataset", csv_path,
+            "--test-dataset", csv_path,
+            "--mode", "training",
+            "--output-dir", out_dir,
+            "--output-name", "preempt",
+            "--resume",
+        ])
+        assert os.path.exists(
+            os.path.join(out_dir, "models", "model_average.ckpt")
+        )
+    finally:
+        signal.signal = real_signal
+        avsr_main.make_train_step = real_make

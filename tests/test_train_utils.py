@@ -197,3 +197,41 @@ def test_host_sharded_global_batch():
     assert len(g["speech"].sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(g["speech"]), local["speech"])
     assert g["refs"] == local["refs"]
+
+
+def test_train_step_remat_matches_plain():
+    """jax.checkpoint rematerialization changes memory, not numerics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tailored_avsr_tpu.models.asr_model import ASRModel
+    from tailored_avsr_tpu.models.branchformer import BranchformerEncoder
+    from tailored_avsr_tpu.models.ctc import CTCHead
+    from tailored_avsr_tpu.train.loop import (
+        create_train_state, make_train_step,
+    )
+    import optax
+
+    enc = BranchformerEncoder(
+        output_size=16, attention_heads=2, linear_units=24,
+        cgmlp_linear_units=24, cgmlp_conv_kernel=7, num_blocks=1,
+        input_layer="conv2d", dropout_rate=0.0)
+    model = ASRModel(vocab_size=7, encoder=enc, ctc=CTCHead(7), ctc_weight=1.0)
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (2, 29, 12))
+    flens = jnp.array([29, 21])
+    text = jnp.array([[1, 2, -1], [3, -1, -1]])
+    tlens = jnp.array([2, 1])
+    variables = model.init(key, feats, flens, text, tlens)
+    tx = optax.adam(1e-3)
+    batch = (feats, flens, text, tlens)
+    outs = []
+    for remat in (False, True):
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, None, donate=False, remat=remat)
+        state, stats = step(state, batch, jax.random.PRNGKey(1))
+        outs.append((float(stats["loss"]),
+                     np.asarray(jax.tree_util.tree_leaves(state.params)[0])))
+    assert np.isfinite(outs[0][0])
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)
