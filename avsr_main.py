@@ -155,58 +155,71 @@ def run_training(args, config, tokenizer, converter, transforms):
         start_epoch = done_epoch + 1
         print(f"resumed training state after epoch {done_epoch} (step {int(state.step)})")
     val_stats = []
-    # preemption handling: on SIGTERM/SIGINT, finish the current step, save
-    # the full train state (params/opt/step), and exit — `--resume` restarts
-    # exactly where the run was killed (the reference has no preemption
-    # story; per-epoch checkpoints are its implicit recovery unit,
-    # SURVEY.md §5.3-5.4)
+    # preemption handling (SURVEY.md §5.3-5.4 — the reference has none):
+    # SIGTERM/SIGINT stop the run at the next step or epoch boundary. The
+    # recovery unit is the per-epoch train_state.ckpt already on disk, so the
+    # partial epoch is simply abandoned — `--resume` re-trains it exactly
+    # once from the last completed epoch (exactly-once epoch semantics; no
+    # optimizer-step double counting, schedules stay consistent).
     import signal
 
     stop_requested = {"flag": False}
 
     def _on_term(signum, frame):
         stop_requested["flag"] = True
-        print(f"\nsignal {signum}: will checkpoint and exit at the next step")
+        print(
+            f"\nsignal {signum}: finishing the current step, then exiting "
+            "(state through the last completed epoch is on disk; --resume "
+            "re-trains the interrupted epoch)"
+        )
 
     old_handlers = {
         s: signal.signal(s, _on_term) for s in (signal.SIGTERM, signal.SIGINT)
     }
     print("\nTRAINING PHASE\n")
-    for epoch in range(start_epoch, ts["epochs"] + 1):
-        t0 = time.time()
-        tot, n = 0.0, 0
-        for batch in train_loader:
-            state, stats = train_step(state, batch_tuple(batch, task), rng)
-            tot += float(stats["loss"])
-            n += 1
+    try:
+        for epoch in range(start_epoch, ts["epochs"] + 1):
+            t0 = time.time()
+            tot, n = 0.0, 0
+            for batch in train_loader:
+                state, stats = train_step(state, batch_tuple(batch, task), rng)
+                tot += float(stats["loss"])
+                n += 1
+                if stop_requested["flag"]:
+                    break
             if stop_requested["flag"]:
-                save_train_state(state, epoch - 1, ts_path)
                 print(
-                    f"preempted during epoch {epoch} after {n} steps: train "
-                    f"state saved to {ts_path}; rerun with --resume"
+                    f"preempted during epoch {epoch} after {n} steps: "
+                    f"abandoning the partial epoch; rerun with --resume "
+                    f"(restarts at epoch {epoch})"
                 )
-                for s, h in old_handlers.items():
-                    signal.signal(s, h)
                 return
-        train_loss = tot / max(n, 1)
-        val_loss, val_cer = validation(val_loader)
-        test_loss, test_cer = validation(test_loader)
-        print(
-            f"Epoch {epoch}: TRAIN LOSS={train_loss:.3f} || VAL LOSS={val_loss:.3f} "
-            f"| VAL CER={val_cer:.2f}% || TEST LOSS={test_loss:.3f} "
-            f"| TEST CER={test_cer:.2f}% || {time.time() - t0:.1f}s"
-        )
-        ckpt = os.path.join(args.output_dir, "models", f"model_{epoch:03d}.ckpt")
-        save_model(
-            {"params": jax.device_get(state.params),
-             "batch_stats": jax.device_get(state.batch_stats)},
-            ckpt,
-        )
-        val_stats.append({"epoch": epoch, "cer": val_cer, "path": ckpt})
-        save_train_state(state, epoch, ts_path)
+            train_loss = tot / max(n, 1)
+            val_loss, val_cer = validation(val_loader)
+            test_loss, test_cer = validation(test_loader)
+            print(
+                f"Epoch {epoch}: TRAIN LOSS={train_loss:.3f} || VAL LOSS={val_loss:.3f} "
+                f"| VAL CER={val_cer:.2f}% || TEST LOSS={test_loss:.3f} "
+                f"| TEST CER={test_cer:.2f}% || {time.time() - t0:.1f}s"
+            )
+            ckpt = os.path.join(args.output_dir, "models", f"model_{epoch:03d}.ckpt")
+            save_model(
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+                ckpt,
+            )
+            val_stats.append({"epoch": epoch, "cer": val_cer, "path": ckpt})
+            save_train_state(state, epoch, ts_path)
+            if stop_requested["flag"]:  # signal arrived during validation/save
+                print(
+                    f"preempted after epoch {epoch} completed: state saved; "
+                    "rerun with --resume to continue"
+                )
+                return
+    finally:
+        for s, h in old_handlers.items():
+            signal.signal(s, h)
 
-    for s, h in old_handlers.items():
-        signal.signal(s, h)
     save_val_stats(
         os.path.join(args.output_dir, "val_stats.csv"),
         [{"epoch": r["epoch"], "cer": r["cer"]} for r in val_stats],

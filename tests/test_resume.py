@@ -112,7 +112,8 @@ def test_preemption_sigterm_checkpoint_and_resume(tmp_path):
 
         def wrapped(*sa):
             calls["n"] += 1
-            if calls["n"] == 2:  # "deliver" SIGTERM during the first epoch
+            # 1 batch/epoch (3 utts, batch_size 3): call 2 is epoch 2's step
+            if calls["n"] == 2:  # "deliver" SIGTERM during the SECOND epoch
                 handlers[signal.SIGTERM](signal.SIGTERM, None)
             return step(*sa)
 
@@ -130,8 +131,16 @@ def test_preemption_sigterm_checkpoint_and_resume(tmp_path):
             "--output-dir", out_dir,
             "--output-name", "preempt",
         ])
+        # epoch 1 completed -> its state is the recovery point; the partial
+        # epoch 2 is abandoned (exactly-once epoch semantics)
         ts_path = os.path.join(out_dir, "models", "train_state.ckpt")
         assert os.path.exists(ts_path)
+        assert os.path.exists(
+            os.path.join(out_dir, "models", "model_001.ckpt")
+        )
+        assert not os.path.exists(
+            os.path.join(out_dir, "models", "model_002.ckpt")
+        )
         # preempted before finishing: no final average written
         assert not os.path.exists(
             os.path.join(out_dir, "models", "model_average.ckpt")
