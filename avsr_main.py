@@ -166,11 +166,14 @@ def run_training(args, config, tokenizer, converter, transforms):
     stop_requested = {"flag": False}
 
     def _on_term(signum, frame):
+        if stop_requested["flag"] and signum == signal.SIGINT:
+            raise KeyboardInterrupt  # second Ctrl-C: stop NOW
         stop_requested["flag"] = True
         print(
             f"\nsignal {signum}: finishing the current step, then exiting "
             "(state through the last completed epoch is on disk; --resume "
-            "re-trains the interrupted epoch)"
+            "re-trains the interrupted epoch; Ctrl-C again to abort "
+            "immediately)"
         )
 
     old_handlers = {
@@ -193,7 +196,7 @@ def run_training(args, config, tokenizer, converter, transforms):
                     f"abandoning the partial epoch; rerun with --resume "
                     f"(restarts at epoch {epoch})"
                 )
-                return
+                return False
             train_loss = tot / max(n, 1)
             val_loss, val_cer = validation(val_loader)
             test_loss, test_cer = validation(test_loader)
@@ -215,7 +218,7 @@ def run_training(args, config, tokenizer, converter, transforms):
                     f"preempted after epoch {epoch} completed: state saved; "
                     "rerun with --resume to continue"
                 )
-                return
+                return False
     finally:
         for s, h in old_handlers.items():
             signal.signal(s, h)
@@ -233,6 +236,7 @@ def run_training(args, config, tokenizer, converter, transforms):
     avg = average_models(template, paths)
     save_model(avg, os.path.join(args.output_dir, "models", "model_average.ckpt"))
     print(f"averaged top-{len(paths)} checkpoints -> model_average.ckpt")
+    return True
 
 
 def run_inference(args, config, tokenizer, converter, transforms):
@@ -386,7 +390,10 @@ def main(argv=None):
     tokenizer, converter = get_tokenizer_converter(config)
     transforms = build_transforms(args)
     if args.mode in ("training", "both"):
-        run_training(args, config, tokenizer, converter, transforms)
+        completed = run_training(args, config, tokenizer, converter, transforms)
+        if not completed:
+            print("training was preempted: skipping the inference phase")
+            return
         if args.mode == "both" and not args.load_checkpoint:
             args.load_checkpoint = os.path.join(
                 args.output_dir, "models", "model_average.ckpt"

@@ -33,6 +33,13 @@ NEG_INF = -1.0e30
 _H1, _H2 = jnp.uint32(1000003), jnp.uint32(10000019)  # rolling-hash multipliers
 
 
+def _gather_beams(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis over the beam axis (1) for 2-D or higher-rank state."""
+    if x.ndim > 2:
+        idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
 def _logaddexp(a, b):
     m = jnp.maximum(a, b)
     m_safe = jnp.maximum(m, NEG_INF)
@@ -46,7 +53,8 @@ def _logaddexp(a, b):
 @partial(
     jax.jit,
     static_argnames=(
-        "beam_size", "pre_beam", "blank_id", "max_len", "ngram_scorer"
+        "beam_size", "pre_beam", "blank_id", "max_len", "penalty",
+        "ngram_scorer", "ngram_weight",
     ),
 )
 def ctc_timesync_beam_search(
@@ -59,9 +67,11 @@ def ctc_timesync_beam_search(
     penalty: float = 0.0,  # length (insertion) bonus per emitted token
     ngram_scorer: Optional[Callable] = None,  # (tokens (N,L), lens (N,), cand (N,)) -> (N,)
     ngram_weight: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens (B, K, max_len), token_lengths (B, K), scores (B, K))
-    sorted best-first. Scores are log P_ctc(prefix) + fusion terms."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens (B, K, max_len), token_lengths (B, K), scores (B, K),
+    ctc_scores (B, K)) sorted best-first by ``scores`` = log P_ctc(prefix) +
+    fusion (insertion bonus + weighted n-gram); ``ctc_scores`` is the pure
+    log P_ctc term so callers can re-weight the components."""
     b, t, v = log_probs.shape
     k = beam_size
     p = min(pre_beam, v - 1)
@@ -147,8 +157,10 @@ def ctc_timesync_beam_search(
 
         # ---- merge identical prefixes (sort by hash + segment logsumexp) ---
         order = jnp.argsort(c_h1, axis=1)
+
         def g(x, o=order):
-            return jnp.take_along_axis(x, o.reshape(o.shape + (1,) * (x.ndim - 2)), axis=1) if x.ndim > 2 else jnp.take_along_axis(x, o, axis=1)
+            return _gather_beams(x, o)
+
         s_h1, s_h2 = g(c_h1), g(c_h2)
         s_pb, s_pnb, s_fus, s_last, s_len = g(c_pb), g(c_pnb), g(c_fus), g(c_last), g(c_len)
         s_tok = g(c_tok)
@@ -177,32 +189,26 @@ def ctc_timesync_beam_search(
         seg_valid = jnp.arange(n)[None] < num_segs[:, None]
         firsts = jnp.where(seg_valid, firsts, 0)
 
-        def take_rows(x):
-            return jnp.take_along_axis(
-                x, firsts.reshape(firsts.shape + (1,) * (x.ndim - 2)), axis=1
-            ) if x.ndim > 2 else jnp.take_along_axis(x, firsts, axis=1)
-
-        r_fus, r_last, r_len = take_rows(s_fus), take_rows(s_last), take_rows(s_len)
-        r_tok = take_rows(s_tok)
-        r_h1, r_h2 = take_rows(s_h1), take_rows(s_h2)
+        r_fus, r_last, r_len = (
+            _gather_beams(s_fus, firsts),
+            _gather_beams(s_last, firsts),
+            _gather_beams(s_len, firsts),
+        )
+        r_tok = _gather_beams(s_tok, firsts)
+        r_h1, r_h2 = _gather_beams(s_h1, firsts), _gather_beams(s_h2, firsts)
 
         score = _logaddexp(m_pb, m_pnb) + r_fus
         score = jnp.where(seg_valid, score, NEG_INF)
 
         # ---- prune to K ----------------------------------------------------
         _, keep = jax.lax.top_k(score, k)  # (B, K)
-        def keep_rows(x):
-            return jnp.take_along_axis(
-                x, keep.reshape(keep.shape + (1,) * (x.ndim - 2)), axis=1
-            ) if x.ndim > 2 else jnp.take_along_axis(x, keep, axis=1)
-
-        n_tok = keep_rows(r_tok)
-        n_len = keep_rows(r_len)
-        n_pb = keep_rows(m_pb)
-        n_pnb = keep_rows(m_pnb)
-        n_fus = keep_rows(r_fus)
-        n_h1, n_h2 = keep_rows(r_h1), keep_rows(r_h2)
-        n_last = keep_rows(r_last)
+        n_tok = _gather_beams(r_tok, keep)
+        n_len = _gather_beams(r_len, keep)
+        n_pb = _gather_beams(m_pb, keep)
+        n_pnb = _gather_beams(m_pnb, keep)
+        n_fus = _gather_beams(r_fus, keep)
+        n_h1, n_h2 = _gather_beams(r_h1, keep), _gather_beams(r_h2, keep)
+        n_last = _gather_beams(r_last, keep)
 
         # frames beyond the utterance leave the state untouched
         def sel(new, old):
@@ -219,9 +225,11 @@ def ctc_timesync_beam_search(
     tokens, tok_len, log_pb, log_pnb, fusion, _, _, _ = jax.lax.fori_loop(
         0, t, step, state
     )
-    score = _logaddexp(log_pb, log_pnb) + fusion
+    ctc_score = _logaddexp(log_pb, log_pnb)
+    score = ctc_score + fusion
     order = jnp.argsort(-score, axis=1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
     tok_len = jnp.take_along_axis(tok_len, order, axis=1)
     score = jnp.take_along_axis(score, order, axis=1)
-    return tokens, tok_len, score
+    ctc_score = jnp.take_along_axis(ctc_score, order, axis=1)
+    return tokens, tok_len, score, ctc_score

@@ -115,3 +115,23 @@ class NgramScorer:
     def score_step(self, ys: jnp.ndarray, pos) -> jnp.ndarray:
         """(N, L), scalar pos -> (N, V) conditional log-probs (jittable)."""
         return self.table[self.context_index(ys, jnp.asarray(pos))]
+
+    def score_candidates(
+        self, tokens: jnp.ndarray, lengths: jnp.ndarray, cand: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Per-row variant for the time-synchronous search: (N, L) buffers
+        with per-row ``lengths`` (no sos prefix) and one candidate token per
+        row -> (N,) log P(cand | last order-1 tokens)."""
+        n, l = tokens.shape
+        idx = jnp.zeros((n,), jnp.int32)
+        for j in range(self.order - 1):
+            p = lengths - 1 - j  # (N,)
+            tok = jnp.where(
+                p >= 0,
+                jnp.take_along_axis(
+                    tokens, jnp.clip(p, 0, l - 1)[:, None], axis=1
+                ).squeeze(1),
+                0,
+            )
+            idx = idx + tok * (self.vocab ** j)
+        return self.table[idx, cand]

@@ -47,7 +47,7 @@ class ContextualBlockStreamer:
         enc, ids = st.finalize()              # flush the partial tail
     """
 
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, max_positions: int = _MAX_POS):
         enc = model.encoder
         from tailored_avsr_tpu.models.contextual_block import (
             ContextualBlockEncoder,
@@ -72,6 +72,7 @@ class ContextualBlockStreamer:
                 f"streaming input_layer {enc.input_layer!r} (use conv2d/linear)"
             )
         self.model, self.variables = model, variables
+        self.max_positions = int(max_positions)
         self.enc = enc
         self.hop, self.blk = enc.hop_size, enc.block_size
         self.num_layers = enc.num_blocks
@@ -105,7 +106,7 @@ class ContextualBlockStreamer:
                 enc.embed_norm(enc.embed_linear(raw)), deterministic=True
             )
         d = h.shape[-1]
-        pe = jnp.asarray(abs_pos_table(_MAX_POS, d), h.dtype)
+        pe = jnp.asarray(abs_pos_table(self.max_positions, d), h.dtype)
         win = jax.lax.dynamic_slice_in_dim(pe, e0, h.shape[1], axis=0)
         return h * jnp.asarray(np.sqrt(d), h.dtype) + win[None]
 
@@ -162,6 +163,16 @@ class ContextualBlockStreamer:
 
     def _run_chunk(self, raw_win: np.ndarray, e0: int, n_blocks: int,
                    tail_valid: int):
+        need = (n_blocks - 1) * self.hop + self.blk
+        if e0 + need > self.max_positions:
+            # dynamic_slice would silently clamp and break the bit-exactness
+            # contract with the offline encoder — fail loudly instead
+            raise RuntimeError(
+                f"stream exceeds max_positions={self.max_positions} embedded "
+                f"frames (needs {e0 + need}); construct the streamer with a "
+                "larger max_positions (the reference caps its pos-emb table "
+                "at 5000, src/encoder/branchformer/encoder.py:88)"
+            )
         key = (raw_win.shape, n_blocks, tail_valid)
         if key not in self._jit_cache:
             def fn(variables, raw, ctx, first, e0):

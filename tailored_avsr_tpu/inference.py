@@ -93,6 +93,7 @@ class Speech2Text:
         self.quantize_asr_model = bool(inf.get("quantize_asr_model", False))
         self.quantize_lm = bool(inf.get("quantize_lm", False))
         self.quantize_dtype = str(inf.get("quantize_dtype", "qint8"))
+        self.quantize_min_size = int(inf.get("quantize_min_size", 4096))
         self.ngram = None
         self.ngram_weight = float(inf.get("ngram_weight", 0.0))
         if ngram_path and self.ngram_weight > 0:
@@ -142,13 +143,15 @@ class Speech2Text:
             from tailored_avsr_tpu.utils.quantize import quantize_variables
 
             self.variables = quantize_variables(
-                self.variables, self.quantize_dtype
+                self.variables, self.quantize_dtype,
+                min_size=self.quantize_min_size,
             )
         if self.quantize_lm and self.lm_variables is not None:
             from tailored_avsr_tpu.utils.quantize import quantize_variables
 
             self.lm_variables = quantize_variables(
-                self.lm_variables, self.quantize_dtype
+                self.lm_variables, self.quantize_dtype,
+                min_size=self.quantize_min_size,
             )
 
     def _model_args(self, batch: Dict) -> Tuple:
@@ -263,12 +266,23 @@ class Speech2Text:
                 )
 
                 k = cfg.beam_size
-                toks, tlens, cscores = ctc_timesync_beam_search(
+                toks, tlens, tscores, cscores = ctc_timesync_beam_search(
                     ctc_logp, enc_lens, beam_size=k,
                     pre_beam=min(self.pre_beam, model.vocab_size - 1),
                     max_len=max(2, enc_out.shape[1]), penalty=cfg.penalty,
+                    ngram_scorer=(
+                        self.ngram.score_candidates
+                        if self.ngram is not None
+                        else None
+                    ),
+                    ngram_weight=(
+                        self.ngram_weight if self.ngram is not None else 0.0
+                    ),
                 )
-                score = cfg.ctc_weight * cscores
+                # tscores = ctc + fusion (penalty + weighted ngram); weight
+                # only the CTC component, keep the fusion terms at full
+                # weight — same semantics as the label-sync combination
+                score = cfg.ctc_weight * cscores + (tscores - cscores)
                 att_w = 1.0 - cfg.ctc_weight
                 bsz, _, lmax = toks.shape
                 flat = toks.reshape(bsz * k, lmax)
@@ -285,12 +299,14 @@ class Speech2Text:
                         flat, flens, method="nll",
                     )
                     score = score + att_w * (-nll.reshape(bsz, k))
-                if lm is not None and cfg.lm_weight > 0:
+                if lm is not None and self.beam_config.lm_weight > 0:
                     lm_nll, _ = lm.apply(
                         lmv, flat, flens, method="nll"
                     )
-                    score = score + cfg.lm_weight * (-lm_nll.reshape(bsz, k))
-                order = jnp.argsort(-score, axis=1)
+                    score = score + self.beam_config.lm_weight * (
+                        -lm_nll.reshape(bsz, k)
+                    )
+                order = jnp.argsort(-score, axis=1)[:, : min(cfg.nbest, k)]
                 toks = jnp.take_along_axis(toks, order[:, :, None], axis=1)
                 tlens = jnp.take_along_axis(tlens, order, axis=1)
                 score = jnp.take_along_axis(score, order, axis=1)

@@ -37,9 +37,11 @@ def test_timesync_matches_exhaustive():
     logits = jax.random.normal(key, (b, t, v)) * 2.0
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     lengths = jnp.array([6, 4])
-    toks, tlens, scores = ctc_timesync_beam_search(
+    toks, tlens, scores, cscores = ctc_timesync_beam_search(
         log_probs, lengths, beam_size=16, pre_beam=v - 1, max_len=8
     )
+    # no fusion configured: the combined score IS the ctc score
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(cscores))
     for bi in range(b):
         exact = exact_scores(logits[bi], int(lengths[bi]))
         best_seq = max(exact, key=exact.get)
@@ -68,16 +70,20 @@ def test_timesync_length_bonus_and_batch_masking():
     b, t, v = 2, 5, 4
     log_probs = jax.nn.log_softmax(jax.random.normal(key, (b, t, v)), -1)
     lengths = jnp.array([5, 3])
-    t0, l0, s0 = ctc_timesync_beam_search(log_probs, lengths, beam_size=4,
-                                          pre_beam=3, max_len=6)
+    t0, l0, s0, _ = ctc_timesync_beam_search(log_probs, lengths, beam_size=4,
+                                             pre_beam=3, max_len=6)
     # a large insertion bonus must favor longer outputs
-    t1, l1, s1 = ctc_timesync_beam_search(log_probs, lengths, beam_size=4,
-                                          pre_beam=3, max_len=6, penalty=5.0)
+    t1, l1, s1, c1 = ctc_timesync_beam_search(log_probs, lengths, beam_size=4,
+                                              pre_beam=3, max_len=6,
+                                              penalty=5.0)
+    # fusion = score - ctc = penalty * emitted length
+    np.testing.assert_allclose(
+        np.asarray(s1 - c1), 5.0 * np.asarray(l1), atol=1e-4)
     assert int(l1[0, 0]) >= int(l0[0, 0])
     # frames past `lengths` must not affect the result
     lp2 = log_probs.at[1, 3:].set(jnp.log(jnp.ones(v) / v) * 0 + 7.0)
-    t2, l2, s2 = ctc_timesync_beam_search(lp2, lengths, beam_size=4,
-                                          pre_beam=3, max_len=6)
+    t2, l2, s2, _ = ctc_timesync_beam_search(lp2, lengths, beam_size=4,
+                                             pre_beam=3, max_len=6)
     np.testing.assert_array_equal(np.asarray(t0[1]), np.asarray(t2[1]))
     np.testing.assert_allclose(np.asarray(s0[1]), np.asarray(s2[1]), atol=1e-5)
 

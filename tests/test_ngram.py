@@ -75,3 +75,51 @@ def test_scorer_jit_and_beam_fusion(tmp_path):
         neutral_att, ctc_logp, jnp.array([t]), 4, 4, cfg, lm_score_fn=sc.score_step
     )
     assert np.isfinite(float(res.scores[0, 0]))
+
+
+def test_score_candidates_matches_score_step(tmp_path):
+    """The per-row candidate API (timesync fusion) agrees with score_step."""
+    tokens = ["<blank>", "A", "B", "C"]
+    sc = NgramScorer(write_arpa(tmp_path), tokens, order=2)
+    buf = jnp.array([[1, 2, 0], [2, 0, 0], [0, 0, 0]])  # [A,B], [B], []
+    lens = jnp.array([2, 1, 0])
+    cand = jnp.array([1, 3, 2])  # A|B after AB; C after B; B given empty
+    got = sc.score_candidates(buf, lens, cand)
+    for i in range(3):
+        want = sc.score_step(buf[i][None], int(lens[i]))[0, int(cand[i])]
+        np.testing.assert_allclose(float(got[i]), float(want), rtol=1e-6)
+
+
+def test_timesync_ngram_fusion_changes_ranking(tmp_path):
+    """In-loop n-gram fusion in the time-synchronous search shifts scores by
+    ngram_weight * sum log P(token | context)."""
+    from tailored_avsr_tpu.decode.ctc_timesync import ctc_timesync_beam_search
+
+    tokens = ["<blank>", "A", "B", "C"]
+    sc = NgramScorer(write_arpa(tmp_path), tokens, order=2)
+    key = jax.random.PRNGKey(0)
+    lp = jax.nn.log_softmax(jax.random.normal(key, (1, 5, 4)) * 1.5, -1)
+    lens = jnp.array([5])
+    t0, l0, s0, c0 = ctc_timesync_beam_search(
+        lp, lens, beam_size=4, pre_beam=3, max_len=6)
+    t1, l1, s1, c1 = ctc_timesync_beam_search(
+        lp, lens, beam_size=4, pre_beam=3, max_len=6,
+        ngram_scorer=sc.score_candidates, ngram_weight=0.7)
+    # find a shared hypothesis and check its fusion term exactly
+    for ki in range(4):
+        seq = [int(x) for x in np.asarray(t1[0, ki, : int(l1[0, ki])])]
+        if not seq:
+            continue
+        # expected ngram total under the scorer
+        tot = 0.0
+        for j, c in enumerate(seq):
+            buf = jnp.zeros((1, 6), jnp.int32)
+            if j:
+                buf = buf.at[0, :j].set(jnp.asarray(seq[:j]))
+            tot += float(sc.score_candidates(buf, jnp.array([j]),
+                                             jnp.array([c]))[0])
+        np.testing.assert_allclose(
+            float(s1[0, ki] - c1[0, ki]), 0.7 * tot, atol=1e-4)
+        break
+    else:
+        raise AssertionError("no non-empty hypothesis found")

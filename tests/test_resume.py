@@ -162,3 +162,52 @@ def test_preemption_sigterm_checkpoint_and_resume(tmp_path):
     finally:
         signal.signal = real_signal
         avsr_main.make_train_step = real_make
+
+
+def test_preempted_mode_both_skips_inference(tmp_path):
+    """--mode both preempted during training must NOT fall through to the
+    inference phase (which would load the never-written model_average)."""
+    import signal
+
+    import avsr_main
+    from tests.synthetic import make_synthetic_corpus
+    from tests.test_train_e2e import write_tiny_config
+
+    csv_path, token_path = make_synthetic_corpus(str(tmp_path / "corpus"), n=3)
+    cfg = write_tiny_config(tmp_path, token_path)
+    out_dir = str(tmp_path / "exp_both")
+    handlers = {}
+    real_signal = signal.signal
+    real_make = avsr_main.make_train_step
+
+    def fake_signal(sig, h):
+        handlers[sig] = h
+
+    def make(*a, **k):
+        step = real_make(*a, **k)
+
+        def wrapped(*sa):
+            handlers[signal.SIGTERM](signal.SIGTERM, None)  # preempt at once
+            return step(*sa)
+
+        return wrapped
+
+    signal.signal = fake_signal
+    avsr_main.make_train_step = make
+    try:
+        avsr_main.main([
+            "--config-file", cfg,
+            "--training-dataset", csv_path,
+            "--validation-dataset", csv_path,
+            "--test-dataset", csv_path,
+            "--mode", "both",
+            "--output-dir", out_dir,
+            "--output-name", "both",
+        ])
+    finally:
+        signal.signal = real_signal
+        avsr_main.make_train_step = real_make
+    assert not os.path.exists(os.path.join(out_dir, "inference"))
+    assert not os.path.exists(
+        os.path.join(out_dir, "models", "model_average.ckpt")
+    )
