@@ -21,7 +21,7 @@ side keeps only a numpy tail of raw features and two counters.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

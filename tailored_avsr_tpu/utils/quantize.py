@@ -15,7 +15,7 @@ already the fast path).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 
