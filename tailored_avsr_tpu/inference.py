@@ -43,7 +43,13 @@ class Speech2Text:
         lm_ckpt_path: Optional[str] = None,
         ngram_path: Optional[str] = None,
         rng_seed: int = 0,
+        mesh=None,
     ):
+        # pod-batched decoding (SURVEY.md §7.9): pass a jax.sharding.Mesh (or
+        # set inference_conf data_parallel: true to build one over all
+        # devices) — params replicate, the batch shards over 'data', and the
+        # whole jitted decode graph runs SPMD; XLA inserts any collectives.
+        # The reference is hard-pinned to one GPU (avsr_inference.py:596-597).
         self.config = config
         self.task = getattr(config, "task", "avsr")
         self.tokenizer, self.converter = get_tokenizer_converter(config)
@@ -113,6 +119,11 @@ class Speech2Text:
                 lv = self.lm.init(jax.random.PRNGKey(0), dummy, jnp.array([4]))
                 self.lm_variables = load_model(lv, lm_ckpt_path)
 
+        self.mesh = mesh
+        if self.mesh is None and bool(inf.get("data_parallel", False)):
+            from tailored_avsr_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
         self._rng = jax.random.PRNGKey(rng_seed)
         self.variables = None
         self._ckpt_path = ckpt_path
@@ -153,6 +164,25 @@ class Speech2Text:
                 self.lm_variables, self.quantize_dtype,
                 min_size=self.quantize_min_size,
             )
+        if self.mesh is not None:
+            from tailored_avsr_tpu.parallel.mesh import replicate
+
+            self.variables = replicate(self.variables, self.mesh)
+            if self.lm_variables is not None:
+                self.lm_variables = replicate(self.lm_variables, self.mesh)
+
+    def _shard_args(self, args: Tuple) -> Tuple:
+        """Shard model inputs over the mesh's 'data' axis (batch-divisible
+        batches only; otherwise fall back to replicated placement)."""
+        if self.mesh is None:
+            return args
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape["data"]
+        b = args[0].shape[0]
+        spec = P("data") if b % n_data == 0 else P()
+        sharding = NamedSharding(self.mesh, spec)
+        return tuple(jax.device_put(a, sharding) for a in args)
 
     def _model_args(self, batch: Dict) -> Tuple:
         if self.task == "avsr":
@@ -435,11 +465,16 @@ class Speech2Text:
 
     def _decode_arrays(self, batch: Dict):
         self.ensure_params(batch)
-        args = self._model_args(batch)
+        args = self._shard_args(self._model_args(batch))
         key = tuple((a.shape, str(a.dtype)) for a in args)
         if key not in self._decode_jit:
             self._decode_jit[key] = self._build_decode(key)
-        tokens, lengths, scores = self._decode_jit[key](self.variables, *args)
+        if self.mesh is not None:
+            with self.mesh:
+                out = self._decode_jit[key](self.variables, *args)
+        else:
+            out = self._decode_jit[key](self.variables, *args)
+        tokens, lengths, scores = out
         return np.asarray(tokens), np.asarray(lengths), np.asarray(scores)
 
     def _ids_to_result(self, ids: List[int]) -> Tuple[str, List[str], List[int]]:
@@ -561,7 +596,12 @@ class Speech2Text:
                     method="ctc_greedy",
                 )
             )
-        ids, lens = self._decode_jit[key](self.variables, *args)
+        args = self._shard_args(args)
+        if self.mesh is not None:
+            with self.mesh:
+                ids, lens = self._decode_jit[key](self.variables, *args)
+        else:
+            ids, lens = self._decode_jit[key](self.variables, *args)
         hyps = ctc_greedy_collapse(np.asarray(ids), np.asarray(lens))
         out = []
         for h in hyps:
