@@ -2,8 +2,11 @@
 """CLI train/inference driver — public-API mirror of the reference's
 /root/reference/avsr_main.py (same flags, modes, epoch loop behavior,
 top-K checkpoint averaging, .inf/.wer outputs), built on the TPU-native
-framework: jitted train/eval steps, batched jitted beam search, data-parallel
-mesh when multiple devices are visible.
+framework: jitted train/eval steps, batched jitted beam search, and
+data-parallel training over a device mesh (training_settings
+`data_parallel: true` — params replicate, batches shard over 'data', XLA
+inserts the gradient all-reduce; inference_conf `data_parallel: true` does
+the same for decoding).
 """
 
 from __future__ import annotations
@@ -131,10 +134,40 @@ def run_training(args, config, tokenizer, converter, transforms):
     )
     eval_step = make_eval_step(model, BATCH_KEYS[task])
 
+    mesh = None
+    if bool(ts.get("data_parallel", False)) and jax.device_count() > 1:
+        from tailored_avsr_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh()
+        state = replicate(state, mesh)
+        print(f"data-parallel training mesh: {dict(mesh.shape)}")
+
+    def place_batch(bt):
+        if mesh is None:
+            return bt
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        spec = P("data") if bt[0].shape[0] % n_data == 0 else P()
+        sh = NamedSharding(mesh, spec)
+        return tuple(jax.device_put(a, sh) for a in bt)
+
+    def run_train_step(state, bt, rng):
+        if mesh is None:
+            return train_step(state, bt, rng)
+        with mesh:
+            return train_step(state, place_batch(bt), rng)
+
+    def run_eval_step(state, bt):
+        if mesh is None:
+            return eval_step(state, bt)
+        with mesh:
+            return eval_step(state, place_batch(bt))
+
     def validation(loader):
         tot_loss, n, refs, hyps = 0.0, 0, [], []
         for batch in loader:
-            out = eval_step(state, batch_tuple(batch, task))
+            out = run_eval_step(state, batch_tuple(batch, task))
             tot_loss += float(out["loss"])
             n += 1
             hyp_ids = ctc_greedy_collapse(
@@ -185,7 +218,7 @@ def run_training(args, config, tokenizer, converter, transforms):
             t0 = time.time()
             tot, n = 0.0, 0
             for batch in train_loader:
-                state, stats = train_step(state, batch_tuple(batch, task), rng)
+                state, stats = run_train_step(state, batch_tuple(batch, task), rng)
                 tot += float(stats["loss"])
                 n += 1
                 if stop_requested["flag"]:
