@@ -238,3 +238,93 @@ class ContextualBlockStreamer:
         emit = e_avail - e_done
         self._n_blocks += n_rest
         return np.asarray(y)[:, :emit], np.asarray(ids)[:, :emit]
+
+
+class TransducerStreamer:
+    """Streaming transducer recognition: chunked contextual-block encoding +
+    chainable greedy transducer decoding (ops/rnnt.py
+    ``transducer_greedy_chunk``).
+
+    The prediction-network state and last emitted label carry across chunks,
+    so the streamed token sequence is identical to offline greedy transducer
+    decoding over the full utterance — the canonical production streaming-ASR
+    configuration (bounded-latency encoder + frame-synchronous transducer).
+    Requires an ASR model with a ContextualBlockEncoder and transducer heads
+    (``decoder: transducer`` in the task config).
+    """
+
+    def __init__(self, model, variables, max_symbols_per_frame: int = 3,
+                 max_positions: int = _MAX_POS):
+        if model.joint_network is None or model.prediction_network is None:
+            raise ValueError("TransducerStreamer needs a transducer model "
+                             "(joint + prediction networks)")
+        self.model, self.variables = model, variables
+        self.max_symbols = int(max_symbols_per_frame)
+        self.enc_stream = ContextualBlockStreamer(
+            model, variables, max_positions=max_positions
+        )
+        self._jit_cache: Dict = {}
+        self.reset(1)
+
+    def reset(self, batch_size: int) -> None:
+        self.batch = batch_size
+        self.enc_stream.reset(batch_size)
+        init_state = self.model.apply(
+            self.variables, batch_size,
+            method=lambda m, b: m.prediction_network.initial_state(b),
+        )
+        self._carry = (
+            init_state, jnp.full((batch_size,), -1, jnp.int32)
+        )
+
+    def _decode_chunk(self, enc_frames: np.ndarray, valid: np.ndarray):
+        from tailored_avsr_tpu.ops.rnnt import transducer_greedy_chunk
+
+        key = enc_frames.shape
+        if key not in self._jit_cache:
+            model, variables = self.model, self.variables
+            ms = self.max_symbols
+
+            def fn(variables, enc, vlen, carry):
+                def pred_apply(state, label):
+                    return model.apply(
+                        variables, state, label,
+                        method=lambda m, *a: m.prediction_network.step(*a),
+                    )
+
+                def joint_apply(enc_t, g):
+                    return model.apply(
+                        variables, enc_t[:, None, None], g[:, None, None],
+                        method=lambda m, *a: m.joint_network(*a),
+                    ).reshape(enc_t.shape[0], -1)
+
+                return transducer_greedy_chunk(
+                    enc, vlen, pred_apply, joint_apply, carry,
+                    max_symbols_per_frame=ms,
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        tokens, count, self._carry = self._jit_cache[key](
+            self.variables, jnp.asarray(enc_frames), jnp.asarray(valid),
+            self._carry,
+        )
+        toks = np.asarray(tokens)
+        cnt = np.asarray(count)
+        return [list(toks[i, : cnt[i]]) for i in range(toks.shape[0])]
+
+    def accept(self, feats: np.ndarray):
+        """Feed (B, C, F) feature frames; returns per-row lists of NEW token
+        ids emitted by the blocks completed by this chunk."""
+        y, _ = self.enc_stream.accept(feats)
+        if y.shape[1] == 0:
+            return [[] for _ in range(self.batch)]
+        valid = np.full((self.batch,), y.shape[1], np.int32)
+        return self._decode_chunk(y, valid)
+
+    def finalize(self):
+        """Flush the encoder tail and return its newly emitted token ids."""
+        y, _ = self.enc_stream.finalize()
+        if y.shape[1] == 0:
+            return [[] for _ in range(self.batch)]
+        valid = np.full((self.batch,), y.shape[1], np.int32)
+        return self._decode_chunk(y, valid)

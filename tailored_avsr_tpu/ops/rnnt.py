@@ -151,25 +151,29 @@ class PredictionNetwork(nn.Module):
         return tuple(new_states), h
 
 
-def transducer_greedy_decode(
-    enc: jnp.ndarray,  # (B, T, D)
-    enc_lengths: jnp.ndarray,
+def transducer_greedy_chunk(
+    enc: jnp.ndarray,  # (B, Tc, D) encoder frames of this chunk
+    valid_lengths: jnp.ndarray,  # (B,) valid frames within the chunk
     pred_apply,  # (state, label (B,)) -> (state, (B, H))
     joint_apply,  # (enc_t (B, D), g (B, H)) -> (B, V) logits
-    init_state,
+    carry,  # (pred_state, last_emit (B,)) — chainable across chunks
     max_symbols_per_frame: int = 3,
     blank_id: int = 0,
-    max_len: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jittable greedy transducer decode with a symbols-per-frame cap.
+) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple]:
+    """One chunk of greedy transducer decoding with a chainable carry.
 
-    Returns (tokens (B, T*max_symbols), lengths (B,)).
+    The prediction-network state and last emitted label thread through, so
+    chunked decoding is bit-identical to one pass over the concatenated
+    frames — the streaming-ASR decode for the contextual-block encoder
+    (decode/streaming.py TransducerStreamer builds on this).
+    Returns (tokens (B, Tc*max_symbols), counts (B,), new_carry).
     """
     b, t, _ = enc.shape
     lmax = t * max_symbols_per_frame
+    state, last0 = carry
 
-    def frame_step(carry, t_idx):
-        state, last_emit, tokens, count = carry
+    def frame_step(fcarry, t_idx):
+        state, last_emit, tokens, count = fcarry
         enc_t = enc[:, t_idx]  # (B, D)
 
         def symbol_step(carry2, _):
@@ -177,8 +181,7 @@ def transducer_greedy_decode(
             new_state, g = pred_apply(state, last_emit)
             logits = joint_apply(enc_t, g)
             sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            is_blank = (sym == blank_id) | ~active | (t_idx >= enc_lengths)
-            # emit non-blank symbols
+            is_blank = (sym == blank_id) | ~active | (t_idx >= valid_lengths)
             emit = ~is_blank & (count < lmax)
             tokens = jnp.where(
                 emit[:, None] & (jnp.arange(lmax)[None, :] == count[:, None]),
@@ -207,9 +210,32 @@ def transducer_greedy_decode(
         return (state, last_emit, tokens, count), None
 
     tokens0 = jnp.zeros((b, lmax), jnp.int32)
-    last0 = jnp.full((b,), -1, jnp.int32)  # -1 = start (embeds to zeros)
     count0 = jnp.zeros((b,), jnp.int32)
-    (_, _, tokens, count), _ = jax.lax.scan(
-        frame_step, (init_state, last0, tokens0, count0), jnp.arange(t)
+    (state, last_emit, tokens, count), _ = jax.lax.scan(
+        frame_step, (state, last0, tokens0, count0), jnp.arange(t)
+    )
+    return tokens, count, (state, last_emit)
+
+
+def transducer_greedy_decode(
+    enc: jnp.ndarray,  # (B, T, D)
+    enc_lengths: jnp.ndarray,
+    pred_apply,  # (state, label (B,)) -> (state, (B, H))
+    joint_apply,  # (enc_t (B, D), g (B, H)) -> (B, V) logits
+    init_state,
+    max_symbols_per_frame: int = 3,
+    blank_id: int = 0,
+    max_len: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittable greedy transducer decode with a symbols-per-frame cap.
+
+    Returns (tokens (B, T*max_symbols), lengths (B,)).
+    """
+    b = enc.shape[0]
+    del max_len  # compat: the buffer is already capped at T*max_symbols
+    last0 = jnp.full((b,), -1, jnp.int32)  # -1 = start (embeds to zeros)
+    tokens, count, _ = transducer_greedy_chunk(
+        enc, enc_lengths, pred_apply, joint_apply, (init_state, last0),
+        max_symbols_per_frame=max_symbols_per_frame, blank_id=blank_id,
     )
     return tokens, count

@@ -87,3 +87,77 @@ def test_streaming_rejects_non_block_encoder():
     model = ASRModel(vocab_size=V, encoder=enc, ctc=CTCHead(V), ctc_weight=1.0)
     with pytest.raises(ValueError):
         ContextualBlockStreamer(model, {})
+
+
+def test_transducer_streamer_matches_offline():
+    """Chunked transducer decoding == offline greedy transducer over the full
+    utterance (prediction state + last label carry across chunks)."""
+    from argparse import Namespace
+
+    from tailored_avsr_tpu.decode.streaming import TransducerStreamer
+    from tailored_avsr_tpu.ops.rnnt import transducer_greedy_decode
+    from tailored_avsr_tpu.tasks import ASRTask
+
+    cfg = Namespace(
+        task="asr",
+        tokens={"token_list_path": None, "token_type": "char"},
+        frontend="none",
+        encoder="contextual_block_transformer",
+        encoder_conf={"output_size": D, "attention_heads": 2,
+                      "linear_units": 24, "num_blocks": 2, "block_size": 8,
+                      "hop_size": 4, "input_layer": "conv2d",
+                      "dropout_rate": 0.0},
+        decoder="transducer",
+        decoder_conf={"embed_size": D, "hidden_size": D, "num_layers": 1,
+                      "dropout_rate": 0.0},
+        joint_net_conf={"joint_space_size": 16},
+        model="espnet", model_conf={"ctc_weight": 0.3},
+        input_size=F,
+    )
+    token_list = [f"t{i}" for i in range(V)]
+    model = ASRTask.build_model(cfg, token_list)
+    key = jax.random.PRNGKey(3)
+    B, T = 2, 203
+    feats = jax.random.normal(key, (B, T, F))
+    flens = jnp.full((B,), T)
+    text = jnp.array([[1, 2, -1], [3, -1, -1]])
+    variables = model.init(key, feats, flens, text, jnp.array([2, 1]))
+
+    # offline: batch encode + one-pass greedy transducer
+    enc_out, enc_lens, _ = model.apply(variables, feats, flens, method="encode")
+
+    def pred_apply(state, label):
+        return model.apply(
+            variables, state, label,
+            method=lambda m, *a: m.prediction_network.step(*a),
+        )
+
+    def joint_apply(enc_t, g):
+        return model.apply(
+            variables, enc_t[:, None, None], g[:, None, None],
+            method=lambda m, *a: m.joint_network(*a),
+        ).reshape(enc_t.shape[0], -1)
+
+    init_state = model.apply(
+        variables, B, method=lambda m, b: m.prediction_network.initial_state(b)
+    )
+    toks, cnt = transducer_greedy_decode(
+        enc_out, enc_lens, pred_apply, joint_apply, init_state
+    )
+    offline = [
+        [int(x) for x in np.asarray(toks[i, : int(cnt[i])])] for i in range(B)
+    ]
+
+    st = TransducerStreamer(model, variables)
+    st.reset(B)
+    streamed = [[] for _ in range(B)]
+    np_feats = np.asarray(feats)
+    for a, b in [(0, 57), (57, 123), (123, 170), (170, 203)]:
+        out = st.accept(np_feats[:, a:b])
+        for i in range(B):
+            streamed[i].extend(int(x) for x in out[i])
+    out = st.finalize()
+    for i in range(B):
+        streamed[i].extend(int(x) for x in out[i])
+    assert streamed == offline, (streamed, offline)
+    assert any(len(s) > 0 for s in streamed)  # nontrivial decode
