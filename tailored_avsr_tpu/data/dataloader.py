@@ -149,16 +149,38 @@ class AVSRDataLoader:
         batches = self._index_batches()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator (otherwise the thread blocks forever on a full queue)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            for b in batches:
-                q.put(self._collate([self.dataset[i] for i in b]))
-            q.put(sentinel)
+            try:
+                for b in batches:
+                    if not put(self._collate([self.dataset[i] for i in b])):
+                        return
+            except BaseException as e:  # propagate to the consumer
+                put(e)
+                return
+            put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()  # release a producer blocked on a full queue

@@ -96,14 +96,24 @@ def beam_search(
             else jnp.floor(config.maxlenratio * enc_lens).astype(jnp.int32)
         ),
     )  # (B,)
+    # the loop runs lmax steps; an unclamped maxlen (maxlenratio > 1) would
+    # never hit the force-eos gate and silently drop unfinished hypotheses
+    maxlen = jnp.minimum(maxlen, lmax)
     minlen = jnp.floor(config.minlenratio * enc_lens).astype(jnp.int32)
 
     # hypothesis i of utterance b lives at row b*k+i forever; time-minor
     # (N, V, T) layout keeps the prefix DP's vector lanes full (ctc_prefix.py)
-    logp_vt = to_time_minor(
-        jnp.repeat(neutralize_padding(ctc_logp, enc_lens, blank_id), k, axis=0)
-    )
-    ctc_state = ctc_prefix_init_state(logp_vt, blank_id)
+    if use_ctc:
+        logp_vt = to_time_minor(
+            jnp.repeat(
+                neutralize_padding(ctc_logp, enc_lens, blank_id), k, axis=0
+            )
+        )
+        ctc_state = ctc_prefix_init_state(logp_vt, blank_id)
+    else:
+        # attention-only decoding: do not allocate or carry the (N, V, T)
+        # prefix-DP state (it would be loop-carried and un-DCE-able)
+        logp_vt, ctc_state = None, None
 
     ys = jnp.full((b, k, lmax + 2), eos, jnp.int32).at[:, :, 0].set(sos)
     scores = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
@@ -121,7 +131,12 @@ def beam_search(
             att_logp, att_st = att_score_fn(ys_flat, jnp.asarray(pos), att_st)
         else:
             att_logp = att_score_fn(ys_flat, jnp.asarray(pos))  # (N, V)
-        step_logp = att_w * att_logp
+        # with att_w == 0 (pure-CTC decoding) the weighted scores would be
+        # constant and top_k would pick tokens 0..P-1 by tie-break; use the
+        # unweighted decoder posterior for candidate SELECTION only (the
+        # accumulated totals still use att_w * att_logp, i.e. zero)
+        sel_w = att_w if att_w > 0.0 else 1.0
+        step_logp = sel_w * att_logp
         if lm_score_fn is not None and config.lm_weight > 0.0:
             step_logp = step_logp + config.lm_weight * lm_score_fn(
                 ys_flat, jnp.asarray(pos)
@@ -142,6 +157,12 @@ def beam_search(
 
         # pre-beam candidate selection on the full (decoder+lm) scores
         pre_scores, cand_ids = jax.lax.top_k(step_logp, p)  # (N, P)
+        if att_w == 0.0:
+            # selection used the unweighted posterior; the kept score is 0*att
+            pre_scores = (
+                pre_scores
+                - jnp.take_along_axis(att_logp, cand_ids, axis=1)
+            )
         if use_ctc:
             psi, r_new = ctc_prefix_score_step(
                 logp_vt, ctc_state, cand_ids, eos, blank_id

@@ -207,11 +207,22 @@ class Speech2Text:
             if a.ndim < 2:
                 continue  # length vectors
             if a.dtype == jnp.uint8:
-                args[i] = (
+                x = (
                     a.astype(jnp.float32) / self.video_scale - self.video_mean
                 ) / self.video_std
             elif a.dtype == jnp.int16:
-                args[i] = a.astype(jnp.float32) / 32768.0
+                x = a.astype(jnp.float32) / 32768.0
+            else:
+                continue
+            # pad-value parity with the host float path (ignore_id = -1
+            # beyond each utterance, dataloader.py): quantized buffers pad
+            # with 0, which would dequantize to a different value and bleed
+            # through the cgMLP/conv boundary differently
+            lengths = args[i + 1]  # (tensor, lengths) pairs by convention
+            valid = jnp.arange(x.shape[1]) < lengths[:, None]
+            args[i] = jnp.where(
+                valid.reshape(valid.shape + (1,) * (x.ndim - 2)), x, -1.0
+            )
         return tuple(args)
 
     def _build_decode(self, shape_key):

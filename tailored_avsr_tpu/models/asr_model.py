@@ -91,6 +91,8 @@ class ASRModel(nn.Module):
             ctc=self.ctc if getattr(self.encoder, "interctc_use_conditioning", False) else None,
         )
         if self.postencoder is not None:
+            # interCTC taps keep the encoder-native time axis
+            aux = dict(aux or {}, interctc_lens=enc_lens)
             enc_out, enc_lens = self.postencoder(enc_out, enc_lens)
         return enc_out, enc_lens, aux
 
@@ -129,17 +131,28 @@ class ASRModel(nn.Module):
             stats["loss_ctc"] = loss_ctc
         intermediates = enc_aux.get("intermediate_outs", []) if enc_aux else []
         if self.interctc_weight != 0.0 and intermediates:
+            # intermediate taps are PRE-postencoder: use the encoder-native
+            # lengths recorded in aux if a postencoder changed the time axis
+            inter_lens = (
+                enc_aux.get("interctc_lens", enc_lens) if enc_aux else enc_lens
+            )
             loss_interctc = 0.0
             for layer_idx, inter_out in intermediates:
                 loss_ic = self.ctc.loss(
-                    inter_out, enc_lens, text, text_lengths, deterministic=deterministic
+                    inter_out, inter_lens, text, text_lengths,
+                    deterministic=deterministic,
                 )
                 stats[f"loss_interctc_layer{layer_idx}"] = loss_ic
                 loss_interctc = loss_interctc + loss_ic
             loss_interctc = loss_interctc / len(intermediates)
-            loss_ctc = (
-                1 - self.interctc_weight
-            ) * loss_ctc + self.interctc_weight * loss_interctc
+            # ctc_weight may be 0 (attention + interCTC only): the interCTC
+            # term then stands alone instead of dereferencing a None loss
+            if loss_ctc is None:
+                loss_ctc = loss_interctc
+            else:
+                loss_ctc = (
+                    1 - self.interctc_weight
+                ) * loss_ctc + self.interctc_weight * loss_interctc
 
         if self.joint_network is not None:
             # transducer branch: loss = rnnt + ctc_weight * ctc (ref :330-335)
@@ -161,7 +174,14 @@ class ASRModel(nn.Module):
             stats["loss_att"] = loss_att
             stats["acc"] = acc
             if self.ctc_weight == 0.0:
-                loss = loss_att
+                # loss_ctc may hold a standalone interCTC term (ctc_weight 0
+                # with interctc taps): mix it by interctc_weight
+                loss = (
+                    loss_att
+                    if loss_ctc is None
+                    else (1 - self.interctc_weight) * loss_att
+                    + self.interctc_weight * loss_ctc
+                )
             else:
                 loss = self.ctc_weight * loss_ctc + (1 - self.ctc_weight) * loss_att
         stats["loss"] = loss

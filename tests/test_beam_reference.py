@@ -51,7 +51,7 @@ def python_reference_beam(att_fn, ctc_logp, enc_len, cfg, lmax):
     p = min(V, max(1, int(cfg.pre_beam_ratio * k)))
     att_w = 1.0 - cfg.ctc_weight
     maxlen = enc_len if cfg.maxlenratio == 0.0 else int(np.floor(cfg.maxlenratio * enc_len))
-    maxlen = max(1, maxlen)
+    maxlen = max(1, min(maxlen, lmax))  # the search runs at most lmax steps
     minlen = int(np.floor(cfg.minlenratio * enc_len))
     logp = np.asarray(ctc_logp[:enc_len])
     alive = [((SOS,), 0.0)]
@@ -63,7 +63,9 @@ def python_reference_beam(att_fn, ctc_logp, enc_len, cfg, lmax):
             ys = np.full((1, lmax + 2), SOS, np.int32)
             ys[0, : len(tokens)] = tokens
             att = np.asarray(att_fn(jnp.asarray(ys), jnp.asarray(pos)))[0]
-            step = att_w * att + cfg.penalty
+            # selection uses the unweighted posterior when att_w == 0
+            sel_w = att_w if att_w > 0 else 1.0
+            step = sel_w * att + cfg.penalty
             if i < minlen:
                 step[SOS] = -1e10  # block eos
             if i >= maxlen - 1:
@@ -73,7 +75,7 @@ def python_reference_beam(att_fn, ctc_logp, enc_len, cfg, lmax):
             base = list(tokens[1:])
             base_ctc = ctc_prefix_logp(logp, base) if base else 0.0
             for v in top:
-                s = score + step[v]
+                s = score + step[v] - (att[v] if att_w == 0 else 0.0)
                 if cfg.ctc_weight > 0:
                     if v == SOS:  # eos: full-sequence CTC probability
                         new_ctc = ctc_full_logp(logp, list(tokens[1:]))
@@ -125,6 +127,9 @@ def ctc_full_logp(logp, y):
     BeamSearchConfig(beam_size=4, ctc_weight=0.0, nbest=2),
     BeamSearchConfig(beam_size=3, ctc_weight=0.3, minlenratio=0.3,
                      maxlenratio=0.8, nbest=3),
+    BeamSearchConfig(beam_size=3, ctc_weight=1.0, nbest=2),  # pure CTC
+    BeamSearchConfig(beam_size=3, ctc_weight=0.4, maxlenratio=2.0,
+                     nbest=2),  # maxlen must clamp to the step budget
 ])
 def test_jitted_beam_matches_python_reference(cfg):
     key = jax.random.PRNGKey(int(cfg.beam_size * 100 + cfg.ctc_weight * 10))

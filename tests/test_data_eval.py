@@ -165,3 +165,75 @@ def test_native_tasas_matches_python(tmp_path):
     # seeded determinism of the native bootstrap
     wer2, cer2, *_ = compute_bootstrap_wer(inf, resamples=500, seed=7)
     assert (wer, cer) == (wer2, cer2)
+
+
+def test_dataloader_propagates_producer_errors(tmp_path):
+    """A corrupt sample must raise in the consumer, not hang the iterator."""
+    from tailored_avsr_tpu.data.dataloader import AVSRDataLoader
+
+    class BadDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i >= 2:
+                raise RuntimeError("corrupt sample")
+            return {"sample_id": f"s{i}",
+                    "audio": np.zeros(640, np.float32),
+                    "transcription": "AB"}
+
+    class IdConv:
+        token_list = ["<blank>", "A", "B", "<sos/eos>"]
+
+        def tokens2ids(self, toks):
+            return [1] * len(toks)
+
+    class Tok:
+        def text2tokens(self, text):
+            return list(text)
+
+    dl = AVSRDataLoader(BadDataset(), 2, task="asr", tokenizer=Tok(),
+                        converter=IdConv(), is_training=False)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in dl:
+            pass
+
+
+def test_dataloader_abandoned_iterator_releases_producer(tmp_path):
+    """Breaking out of the loop early must not leave the producer blocked."""
+    import threading
+    import time
+
+    from tailored_avsr_tpu.data.dataloader import AVSRDataLoader
+
+    class SlowOkDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"sample_id": f"s{i}",
+                    "audio": np.zeros(640, np.float32),
+                    "transcription": "A"}
+
+    class IdConv:
+        token_list = ["<blank>", "A", "<sos/eos>"]
+
+        def tokens2ids(self, toks):
+            return [1] * len(toks)
+
+    class Tok:
+        def text2tokens(self, text):
+            return list(text)
+
+    before = threading.active_count()
+    dl = AVSRDataLoader(SlowOkDataset(), 1, task="asr", tokenizer=Tok(),
+                        converter=IdConv(), is_training=False)
+    for n, _ in enumerate(dl):
+        if n == 1:
+            break  # abandon with the queue mostly full
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

@@ -668,3 +668,29 @@ def test_pit_model_via_task_factory():
     params = model.init(key, feats, flens, text, tlens)
     loss, _ = model.apply(params, feats, flens, text, tlens)
     assert np.isfinite(float(loss))
+
+
+def test_interctc_with_zero_ctc_weight():
+    """ctc_weight 0 + interCTC taps: the interCTC term stands alone and is
+    mixed into the final loss by interctc_weight (previously a None deref)."""
+    enc = small_branchformer(interctc_layer_idx=(1,), vocab_size=V)
+    dec = TransformerDecoder(
+        vocab_size=V, encoder_output_size=D, attention_heads=4,
+        linear_units=48, num_blocks=1, dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+    )
+    model = ASRModel(vocab_size=V, encoder=enc, ctc=CTCHead(V), decoder=dec,
+                     ctc_weight=0.0, interctc_weight=0.3, lsm_weight=0.0)
+    key = jax.random.PRNGKey(21)
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    params = model.init(key, feats, flens, text, tlens)
+    loss, stats = model.apply(params, feats, flens, text, tlens)
+    assert np.isfinite(float(loss))
+    assert "loss_interctc_layer1" in stats and "loss_att" in stats
+    want = 0.7 * float(stats["loss_att"]) + 0.3 * float(
+        stats["loss_interctc_layer1"]
+    )
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
