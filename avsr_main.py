@@ -129,10 +129,10 @@ def run_training(args, config, tokenizer, converter, transforms):
         ("bfloat16", "bf16") else None
     )
     train_step = make_train_step(
-        model, tx, BATCH_KEYS[task], compute_dtype=compute_dtype,
+        model, tx, compute_dtype=compute_dtype,
         remat=bool((ts or {}).get("remat", False)),
     )
-    eval_step = make_eval_step(model, BATCH_KEYS[task])
+    eval_step = make_eval_step(model)
 
     mesh = None
     if bool(ts.get("data_parallel", False)) and jax.device_count() > 1:

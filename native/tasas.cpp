@@ -84,14 +84,13 @@ Corpus load_corpus(const char* path, const std::string& field_sep,
     return corpus;
   }
   std::unordered_map<std::string, int> dict;
-  std::string line;
-  char buf[1 << 16];
-  while (std::fgets(buf, sizeof(buf), f)) {
-    line = buf;
+  // unbounded line accumulation: a fixed fgets buffer would silently split
+  // transcript lines longer than the buffer into two corrupt records
+  auto process = [&](std::string line) {
     while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
       line.pop_back();
     size_t pos = line.find(field_sep);
-    if (pos == std::string::npos) continue;
+    if (pos == std::string::npos) return;
     std::string ref = line.substr(0, pos);
     std::string hyp = line.substr(pos + field_sep.size());
     auto r = tokenize(ref, symbol_sep, &dict);
@@ -100,7 +99,17 @@ Corpus load_corpus(const char* path, const std::string& field_sep,
     c.edits = edit_distance(r, h);
     c.ref_len = static_cast<int64_t>(r.size());
     corpus.sentences.push_back(c);
+  };
+  char buf[1 << 16];
+  std::string acc;
+  while (std::fgets(buf, sizeof(buf), f)) {
+    acc += buf;
+    if (!acc.empty() && acc.back() == '\n') {
+      process(acc);
+      acc.clear();
+    }
   }
+  if (!acc.empty()) process(acc);  // final line without trailing newline
   std::fclose(f);
   return corpus;
 }

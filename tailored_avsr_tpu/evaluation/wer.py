@@ -59,8 +59,15 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
     return prev[m]
 
 
-def _split(s: str, words: bool) -> List[str]:
-    return s.split() if words else list(s)
+def _split(s: str, words: bool) -> List:
+    """Tokenization matching the reference C tools exactly (tasas.c): WER
+    splits on the literal space character only; CER treats every BYTE of the
+    UTF-8 encoding as a symbol (the reference binary is byte-oriented, so its
+    published CERs on accented Spanish text count 2 edits for a wrong 'ñ' —
+    the fallback must agree with the native twin, not improve on it)."""
+    if words:
+        return [w for w in s.split(" ") if w]
+    return list(s.encode("utf-8"))
 
 
 def error_rate(pairs: Sequence[Tuple[str, str]], words: bool = True) -> float:
@@ -80,6 +87,10 @@ def bootstrap_error_rate(
     seed: int = 0,
 ) -> Tuple[float, float]:
     """Bootstrap mean ± 95% CI half-width (the tasasIntervalo protocol)."""
+    if not pairs:
+        raise ValueError(
+            "no 'ref#hyp' pairs to score (empty or malformed .inf file)"
+        )
     per_sent = []
     for ref, hyp in pairs:
         r, h = _split(ref, words), _split(hyp, words)
@@ -124,10 +135,15 @@ def compute_bootstrap_wer(
         for sep in (b" ", b""):
             mean = ctypes.c_double()
             ci = ctypes.c_double()
-            lib.tasas_bootstrap(
+            rc = lib.tasas_bootstrap(
                 path.encode(), b"#", sep, resamples, seed,
                 ctypes.byref(mean), ctypes.byref(ci),
             )
+            if rc != 0:
+                raise ValueError(
+                    f"tasas_bootstrap failed (rc={rc}) on {path!r} — "
+                    "missing, empty, or malformed .inf file"
+                )
             out.append((mean.value, ci.value))
         (wer, ci_wer), (cer, ci_cer) = out
         return wer, cer, ci_wer, ci_cer

@@ -30,11 +30,15 @@ NEG_INF = -1.0e30
 
 
 def _attn_kernel(
-    q_ref, k_ref, v_ref, bias_ref, mask_ref,
-    o_ref,
-    m_scratch, l_scratch, acc_scratch,
-    *, scale: float, num_k_blocks: int,
+    q_ref, k_ref, v_ref, *rest,
+    scale: float, num_k_blocks: int, has_bias: bool = True,
 ):
+    if has_bias:
+        (bias_ref, mask_ref, o_ref,
+         m_scratch, l_scratch, acc_scratch) = rest
+    else:
+        bias_ref = None
+        (mask_ref, o_ref, m_scratch, l_scratch, acc_scratch) = rest
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -49,7 +53,8 @@ def _attn_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
-    s = s + bias_ref[0].astype(jnp.float32) * scale
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32) * scale
     valid = mask_ref[0] > 0  # (1, BK) int32 -> bool
     s = jnp.where(valid, s, NEG_INF)
 
@@ -247,9 +252,8 @@ def flash_attention(
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-    if bias is None:
-        bias = jnp.zeros((b, h, tq, tk), q.dtype)
-    elif pad_q or pad_k:
+    has_bias = bias is not None
+    if has_bias and (pad_q or pad_k):
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad_q), (0, pad_k)))
     if mask is None:
         mask = jnp.ones((b, t), bool)
@@ -259,19 +263,29 @@ def flash_attention(
     qf = q.reshape(bh, tq, dk)
     kf = k.reshape(bh, tk, dk)
     vf = v.reshape(bh, tk, dk)
-    biasf = bias.reshape(bh, tq, tk)
     nq, nk = tq // block_q, tk // block_k
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, dk), lambda bhi, qi, ki: (bhi, qi, 0)),
+        pl.BlockSpec((1, block_k, dk), lambda bhi, qi, ki: (bhi, ki, 0)),
+        pl.BlockSpec((1, block_k, dk), lambda bhi, qi, ki: (bhi, ki, 0)),
+    ]
+    inputs = [qf, kf, vf]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, block_q, block_k), lambda bhi, qi, ki: (bhi, qi, ki))
+        )
+        inputs.append(bias.reshape(bh, tq, tk))
+    in_specs.append(
+        pl.BlockSpec((1, 1, block_k), lambda bhi, qi, ki, h=h: (bhi // h, 0, ki))
+    )
+    inputs.append(key_mask)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, num_k_blocks=nk),
+        functools.partial(
+            _attn_kernel, scale=scale, num_k_blocks=nk, has_bias=has_bias
+        ),
         grid=(bh, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dk), lambda bhi, qi, ki: (bhi, qi, 0)),
-            pl.BlockSpec((1, block_k, dk), lambda bhi, qi, ki: (bhi, ki, 0)),
-            pl.BlockSpec((1, block_k, dk), lambda bhi, qi, ki: (bhi, ki, 0)),
-            pl.BlockSpec((1, block_q, block_k), lambda bhi, qi, ki: (bhi, qi, ki)),
-            pl.BlockSpec((1, 1, block_k), lambda bhi, qi, ki, h=h: (bhi // h, 0, ki)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, dk), lambda bhi, qi, ki: (bhi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, dk), q.dtype),
         scratch_shapes=[
@@ -280,5 +294,5 @@ def flash_attention(
             pltpu.VMEM((block_q, dk), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf, biasf, key_mask)
+    )(*inputs)
     return out.reshape(b, h, tq, dk)[:, :, :t, :]

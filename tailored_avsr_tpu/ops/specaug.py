@@ -90,7 +90,8 @@ class SpecAug(nn.Module):
                 for _ in range(self.num_freq_mask):
                     kw, ks = jax.random.split(keys[kidx])
                     kidx += 1
-                    width = jax.random.randint(kw, (), lo, hi + 1)
+                    # espnet mask_along_axis draws widths from [lo, hi)
+                    width = jax.random.randint(kw, (), lo, max(hi, lo + 1))
                     start = jax.random.randint(ks, (), 0, jnp.maximum(f - width, 1))
                     drop = drop | _iota_mask(f, start, width)[None, :]
             if self.apply_time_mask:
@@ -100,7 +101,8 @@ class SpecAug(nn.Module):
                     kidx += 2
                     max_w = jnp.maximum((rhi * li.astype(jnp.float32)).astype(jnp.int32), 1)
                     min_w = (rlo * li.astype(jnp.float32)).astype(jnp.int32)
-                    width = _rand_int(kw, min_w, max_w + 1)
+                    # [min_w, max_w) like espnet's variable-max-width mask
+                    width = _rand_int(kw, min_w, jnp.maximum(max_w, min_w + 1))
                     start = _rand_int(ks, 0, jnp.maximum(li - width, 1))
                     drop = drop | _iota_mask(t, start, width)[:, None]
             return jnp.where(drop, self.mask_value, xi)

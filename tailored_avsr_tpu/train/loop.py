@@ -40,14 +40,9 @@ def create_train_state(variables: Dict[str, Any], tx) -> TrainState:
     )
 
 
-def batch_arrays(batch: Dict[str, Any], keys) -> Tuple:
-    return tuple(batch[k] for k in keys)
-
-
 def make_train_step(
     model,
     tx,
-    batch_keys,
     donate: bool = True,
     compute_dtype=None,
     remat: bool = False,
@@ -127,7 +122,7 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, batch_keys) -> Callable:
+def make_eval_step(model) -> Callable:
     """Returns jitted (state, batch_tuple) -> stats incl. greedy CTC ids."""
 
     def step(state: TrainState, batch):

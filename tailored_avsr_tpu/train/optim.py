@@ -77,13 +77,20 @@ def set_optimizer(
         raise ValueError(f"unknown optimizer: {name}")
 
     chain = []
+    if frozen_mask is not None:
+        # zero frozen-module gradients FIRST: the reference's
+        # requires_grad=False means frozen params contribute nothing to the
+        # global-norm clip and accumulate no optimizer moments (zeroing after
+        # Adam would still let them inflate the clip norm and skew the
+        # trainable parameters' updates)
+        chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
     if grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(tx)
     if frozen_mask is not None:
-        chain.append(
-            optax.masked(optax.set_to_zero(), frozen_mask)
-        )
+        # and zero the frozen UPDATES too (adamw's decoupled weight decay
+        # would otherwise shrink frozen params even with zero gradients)
+        chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
     tx = optax.chain(*chain)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)

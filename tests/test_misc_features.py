@@ -59,7 +59,7 @@ def test_mixed_precision_train_step():
           "accum_grad": 1, "epochs": 1}
     tx, _ = set_optimizer(ts, 32, 10)
     state = create_train_state(variables, tx)
-    step = make_train_step(model, tx, None, compute_dtype=jnp.bfloat16)
+    step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
     new_state, stats = step(state, (feats, flens, text, tlens), key)
     assert np.isfinite(float(stats["loss"]))
     # master params stay f32
@@ -225,7 +225,7 @@ def test_bf16_training_convergence_parity():
     for dt in (jnp.float32, jnp.bfloat16):
         tx, _ = set_optimizer(ts, 32, 10)
         state = create_train_state(variables, tx)
-        step = jax.jit(make_train_step(model, tx, None, compute_dtype=dt))
+        step = jax.jit(make_train_step(model, tx, compute_dtype=dt))
         traj = []
         for i in range(25):
             state, stats = step(state, (feats, flens, text, tlens),

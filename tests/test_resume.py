@@ -30,7 +30,7 @@ def test_train_state_round_trip(tmp_path):
           "warmup_steps": 10, "noam_factor": 1.0, "accum_grad": 1, "epochs": 1}
     tx, _ = set_optimizer(ts, 32, 10)
     state = create_train_state(variables, tx)
-    step = make_train_step(model, tx, None, donate=False)
+    step = make_train_step(model, tx, donate=False)
     batch = (feats, flens, text, tlens)
     state, _ = step(state, batch, key)
     state, _ = step(state, batch, key)

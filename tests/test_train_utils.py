@@ -228,7 +228,7 @@ def test_train_step_remat_matches_plain():
     outs = []
     for remat in (False, True):
         state = create_train_state(variables, tx)
-        step = make_train_step(model, tx, None, donate=False, remat=remat)
+        step = make_train_step(model, tx, donate=False, remat=remat)
         state, stats = step(state, batch, jax.random.PRNGKey(1))
         outs.append((float(stats["loss"]),
                      np.asarray(jax.tree_util.tree_leaves(state.params)[0])))
