@@ -90,7 +90,9 @@ def main(argv=None):
     def train_step(state, toks, lens, rng):
         def loss_fn(params):
             nll, counts = model.apply(
-                {"params": params}, toks, lens, method="nll"
+                {"params": params}, toks, lens, method="nll",
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(rng, state.step)},
             )
             return jnp.sum(nll) / jnp.maximum(jnp.sum(counts), 1)
 

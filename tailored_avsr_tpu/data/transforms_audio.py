@@ -79,8 +79,13 @@ class AddNoise:
             return x
         n = len(x)
         if len(self.noise) <= n:
-            reps = n // len(self.noise) + 1
-            noise = np.tile(self.noise, reps)[:n]
+            # the reference zero-pads short noise to the utterance length
+            # (audio_transforms.py:115): the tail stays clean and the power
+            # normalization sees the zero-diluted noise — tiling would change
+            # both the coverage and the effective SNR scaling
+            noise = np.concatenate(
+                [self.noise, np.zeros(n - len(self.noise), self.noise.dtype)]
+            )
         else:
             start = self.rng.randint(len(self.noise) - n)
             noise = self.noise[start : start + n]

@@ -55,9 +55,19 @@ def maskctc_decode(
     threshold: float = 0.999,
     num_iterations: int = 10,
     blank_id: int = 0,
+    eos: int = None,
 ) -> MaskCTCResult:
-    """mlm_score_fn(ys_in (B, T), lengths (B,)) -> (B, T, V') MLM logits."""
+    """mlm_score_fn(ys_in (B, T+1), lengths (B,)) -> (B, T+1, V') MLM logits.
+
+    ``eos`` (default vocab_size - 1, the espnet <sos/eos> convention) is
+    appended inside the valid length before every MLM call — training packs
+    inputs as [tokens..., eos] with lengths + 1 (models/maskctc.py
+    mask_uniform), so decoding must condition on the same distribution.
+    """
     b, t, v = ctc_logp.shape
+    if eos is None:
+        eos = v - 1
+    num_iterations = max(1, num_iterations)
     probs = jnp.exp(jnp.max(ctc_logp, axis=-1))  # (B, T)
     ids = jnp.argmax(ctc_logp, axis=-1).astype(jnp.int32)
     tokens, tok_probs, lengths = jax.vmap(
@@ -69,12 +79,24 @@ def maskctc_decode(
     in_range = pos < lengths[:, None]
     masked0 = (tok_probs < threshold) & in_range
     ys = jnp.where(masked0, mask_token, tokens)
+    # MLM input buffer has room for the trailing eos even at full length
+    pos1 = jnp.arange(t + 1)[None, :]
+    ys = jnp.concatenate(
+        [ys, jnp.full((b, 1), mask_token, ys.dtype)], axis=-1
+    )
+    ys = jnp.where(pos1 == lengths[:, None], eos, ys)
+    masked0 = jnp.concatenate([masked0, jnp.zeros((b, 1), bool)], axis=-1)
     mask_num = jnp.sum(masked0.astype(jnp.int32), axis=-1)  # (B,)
-    per_round = jnp.maximum(mask_num // num_iterations, 0)
+    # espnet fills mask_num // K per round, but switches to one-per-round
+    # when mask_num < K (ref maskctc_model.py:325-338) — later fills then
+    # condition on earlier ones instead of degenerating to one-shot filling
+    per_round = jnp.maximum(
+        mask_num // num_iterations, jnp.minimum(mask_num, 1)
+    )
 
     def round_step(j, carry):
         ys, masked = carry
-        logits = mlm_score_fn(ys, lengths)
+        logits = mlm_score_fn(ys, lengths + 1)
         logits = logits[..., :v]  # ignore the <mask> logit if present
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pred_prob = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), -1), axis=-1)
@@ -82,11 +104,11 @@ def maskctc_decode(
         # rank masked positions by confidence (desc)
         rank = jnp.argsort(jnp.argsort(-score, axis=-1), axis=-1)
         is_last = j == num_iterations - 1
-        fill_k = jnp.where(is_last, jnp.full_like(per_round, t), per_round)
+        fill_k = jnp.where(is_last, jnp.full_like(per_round, t + 1), per_round)
         fill = masked & (rank < fill_k[:, None])
         ys = jnp.where(fill, pred, ys)
         masked = masked & ~fill
         return ys, masked
 
     ys, _ = jax.lax.fori_loop(0, num_iterations, round_step, (ys, masked0))
-    return MaskCTCResult(tokens=ys, lengths=lengths)
+    return MaskCTCResult(tokens=ys[:, :t], lengths=lengths)

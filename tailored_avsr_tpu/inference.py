@@ -295,7 +295,7 @@ class Speech2Text:
 
                 res = maskctc_decode(
                     ctc_logp, enc_lens, mlm_fn, model.vocab_size,
-                    threshold=thr, num_iterations=n_iter,
+                    threshold=thr, num_iterations=n_iter, eos=model.eos,
                 )
                 return (
                     res.tokens[:, None], res.lengths[:, None],

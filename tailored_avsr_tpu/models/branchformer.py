@@ -327,6 +327,20 @@ class BranchformerEncoder(nn.Module):
                 att_type = "legacy_rel_selfattn"
             if pos_type == "rel_pos":
                 pos_type = "legacy_rel_pos"
+        # pairing validation (reference encoder.py:110-114 asserts the same):
+        # a rel attention with an abs table would receive the boolean mask as
+        # its pos_emb argument and fail with an opaque shape error deep inside
+        pairs = {
+            "rel_selfattn": ("rel_pos",),
+            "legacy_rel_selfattn": ("legacy_rel_pos",),
+            "selfattn": ("abs_pos", "scaled_abs_pos"),
+            "fast_selfattn": ("abs_pos", "scaled_abs_pos"),
+        }
+        if self.use_attn_branch and pos_type not in pairs.get(att_type, (pos_type,)):
+            raise ValueError(
+                f"attention_layer_type {att_type!r} requires "
+                f"pos_enc_layer_type in {pairs[att_type]} (got {pos_type!r})"
+            )
         self._att_type = att_type
 
         if pos_type == "rel_pos":

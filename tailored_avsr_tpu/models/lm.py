@@ -146,9 +146,10 @@ class TransformerLM(nn.Module):
             new_cache,
         )
 
-    def nll(self, tokens, lengths):
+    def nll(self, tokens, lengths, *, deterministic: bool = True):
         """Per-utterance NLL for perplexity (lm_main.py:45-57). Input tokens are
-        <sos/eos>-free; we wrap with sos/eos internally like espnet LM."""
+        <sos/eos>-free; we wrap with sos/eos internally like espnet LM.
+        ``deterministic=False`` enables dropout (the TRAINING loss path)."""
         sos = eos = self.vocab_size - 1
         b, l = tokens.shape
         ys_in = jnp.concatenate(
@@ -161,7 +162,7 @@ class TransformerLM(nn.Module):
         )
         ys_out = jnp.where(pos == lengths[:, None], eos, ys_out)
         valid = pos <= lengths[:, None]
-        logits = self(ys_in, lengths + 1)
+        logits = self(ys_in, lengths + 1, deterministic=deterministic)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tok_ll = jnp.take_along_axis(logp, ys_out[..., None], axis=-1).squeeze(-1)
         return -jnp.sum(tok_ll * valid, axis=-1), jnp.sum(valid, axis=-1)

@@ -236,3 +236,42 @@ def test_maskctc_decode_fills_masks():
     assert int(res.lengths[0]) == 3
     toks = np.asarray(res.tokens[0, :3])
     np.testing.assert_array_equal(toks, [1, 4, 2])  # middle mask filled by MLM
+
+
+def test_maskctc_eos_conditioning_and_small_mask_counts():
+    """The MLM is called with a trailing eos inside the valid length (the
+    training input distribution), mask_num < K fills one token per round, and
+    num_iterations=0 still fills every mask."""
+    from tailored_avsr_tpu.decode.maskctc import maskctc_decode
+
+    B, T, V = 1, 6, 8
+    eos = V - 1
+    # CTC posteriors: tokens [1, 2] confident, [3] low-confidence -> masked
+    logp = np.full((B, T, V), -10.0, np.float32)
+    for t, (tok, conf) in enumerate([(1, 0.99999), (2, 0.99999), (3, 0.5),
+                                     (0, 0.99999), (0, 0.99999), (0, 0.99999)]):
+        logp[0, t, tok] = np.log(conf)
+    def mlm_fn(ys, lens):
+        # predict 5 only if the (training-distribution) trailing eos is
+        # visible at position lens-1; otherwise predict 4 — the filled token
+        # therefore proves the decode passed [tokens..., eos] with lens + 1
+        has_eos = jnp.take_along_axis(ys, (lens - 1)[:, None], axis=1) == eos
+        tok = jnp.where(has_eos, 5, 4)  # (B, 1)
+        onehot = (
+            jnp.arange(V + 1)[None, None, :] == tok[:, :, None]
+        )
+        return jnp.where(
+            jnp.broadcast_to(onehot, (ys.shape[0], ys.shape[1], V + 1)),
+            10.0, -10.0,
+        )
+
+    res = maskctc_decode(jnp.asarray(logp), jnp.array([T]), mlm_fn,
+                         mask_token=V, threshold=0.9, num_iterations=4,
+                         eos=eos)
+    ids = [int(x) for x in np.asarray(res.tokens[0, : int(res.lengths[0])])]
+    assert ids == [1, 2, 5], ids  # 5 <=> the MLM saw the trailing eos
+    # num_iterations=0 behaves like a single fill-all round
+    res0 = maskctc_decode(jnp.asarray(logp), jnp.array([T]), mlm_fn,
+                          mask_token=V, threshold=0.9, num_iterations=0,
+                          eos=eos)
+    assert V not in [int(x) for x in np.asarray(res0.tokens[0])][:3]
