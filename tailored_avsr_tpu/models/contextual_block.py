@@ -52,7 +52,21 @@ class ContextualBlockEncoder(BranchformerEncoder):
 
     def _make_layer(self, i, cgmlp_weight, attn_branch_drop_rate, sdr):
         # abs-pos attention within blocks: the block unfold breaks the global
-        # rel-pos index space, so layers run plain self-attention
+        # rel-pos index space, so layers run plain self-attention. A rel-pos
+        # config would be SILENTLY position-free here (RelPositionalEncoding
+        # only scales x; the returned table is discarded) — reject it.
+        if self.pos_enc_layer_type not in ("abs_pos", "scaled_abs_pos"):
+            raise ValueError(
+                "contextual_block encoders require pos_enc_layer_type "
+                "'abs_pos' or 'scaled_abs_pos' (block processing discards "
+                f"relative tables); got {self.pos_enc_layer_type!r}"
+            )
+        if self.attention_layer_type not in ("selfattn",):
+            raise ValueError(
+                "contextual_block encoders run plain self-attention within "
+                f"blocks; got attention_layer_type "
+                f"{self.attention_layer_type!r}"
+            )
         if self.block_layer == "conformer":
             from tailored_avsr_tpu.models.conformer import ConformerEncoderLayer
 
@@ -117,21 +131,22 @@ class ContextualBlockEncoder(BranchformerEncoder):
             ctx = blocks[:, :, 0]
 
         nb = b * nblocks
+        # loop-invariant: the attention mask depends only on bmask/block idx
+        has_prev = jnp.arange(nblocks) > 0  # (n,)
+        smask = jnp.concatenate(
+            [
+                jnp.broadcast_to(has_prev[None, :, None], (b, nblocks, 1)),
+                bmask,
+                jnp.ones((b, nblocks, 1), bool),
+            ],
+            axis=2,
+        )  # (B, n, blk+2)
         for layer in self.layers:
             # prev-block context: block i attends over block i-1's ctx token
             prev_ctx = jnp.pad(ctx, ((0, 0), (1, 0), (0, 0)))[:, :-1]  # (B,n,D)
             seq = jnp.concatenate(
                 [prev_ctx[:, :, None], blocks, ctx[:, :, None]], axis=2
             )  # (B, n, blk+2, D)
-            has_prev = jnp.arange(nblocks) > 0  # (n,)
-            smask = jnp.concatenate(
-                [
-                    jnp.broadcast_to(has_prev[None, :, None], (b, nblocks, 1)),
-                    bmask,
-                    jnp.ones((b, nblocks, 1), bool),
-                ],
-                axis=2,
-            )  # (B, n, blk+2)
             out, _ = layer(
                 seq.reshape(nb, blk + 2, d),
                 None,

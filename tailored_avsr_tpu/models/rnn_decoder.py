@@ -39,7 +39,9 @@ class _RNNAttStep(nn.Module):
     @nn.compact
     def __call__(self, carry, memory, enc_proj, memory_mask, x_t):
         states, att_prev = carry
-        dec_state = states[-1][1]  # top-layer hidden
+        # espnet AttLoc queries with the FIRST layer's previous hidden
+        # (rnn/decoders.py z_list[0]), not the top layer's
+        dec_state = states[0][1]
         # location feature from the previous alignment
         f = nn.Conv(
             self.aconv_chans,
@@ -55,7 +57,10 @@ class _RNNAttStep(nn.Module):
         ).squeeze(-1)  # (B, T)
         if memory_mask is not None:
             e = jnp.where(memory_mask, e, -1e10)
-        w = jax.nn.softmax(e.astype(jnp.float32), axis=-1).astype(memory.dtype)
+        # espnet AttLoc sharpening factor (scaling=2.0) before the softmax
+        w = jax.nn.softmax(2.0 * e.astype(jnp.float32), axis=-1).astype(
+            memory.dtype
+        )
         if memory_mask is not None:
             w = jnp.where(memory_mask, w, 0.0)
         ctx = jnp.einsum("bt,btd->bd", w, memory)

@@ -18,11 +18,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def process_batch_slice(n_utts: int) -> slice:
-    """The slice of the GLOBAL dataset batch this process should load."""
+    """The slice of the GLOBAL dataset batch this process should load.
+
+    The remainder ``n_utts % process_count`` is spread one-per-process over
+    the first processes, so every utterance is covered (a floor-only split
+    would silently drop the tail from training AND evaluation WER).
+    """
     n = jax.process_count()
     i = jax.process_index()
-    per = n_utts // n
-    return slice(i * per, (i + 1) * per)
+    per, rem = divmod(n_utts, n)
+    start = i * per + min(i, rem)
+    return slice(start, start + per + (1 if i < rem else 0))
 
 
 def global_batch_from_local(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:

@@ -69,6 +69,19 @@ class AVSRTask:
             f"acoustic and visual embeds must share pos_enc_layer_type "
             f"({a_pos} != {v_pos})"
         )
+        # the AV encoders (tailored/conventional) receive pos_emb FROM the
+        # embeds, so the attention/pos-enc pairing must be validated here
+        # (mirrors BranchformerEncoder's own check): a rel attention with an
+        # abs embed table would crash deep inside with a shape error
+        att_type = str(encoder_conf.get("attention_layer_type", "rel_selfattn"))
+        rel_att = att_type.endswith("rel_selfattn")
+        rel_pos = a_pos in ("rel_pos", "legacy_rel_pos")
+        if rel_att != rel_pos:
+            raise ValueError(
+                f"encoder attention_layer_type {att_type!r} is incompatible "
+                f"with embed pos_enc_layer_type {a_pos!r} (relative attention "
+                "needs a relative table and vice versa)"
+            )
         acoustic_embed = DefaultEmbeddingLayerForAVSR(
             **filter_conf(
                 DefaultEmbeddingLayerForAVSR,

@@ -33,9 +33,15 @@ def initialize(variables: Dict[str, Any], init: str, seed: int = 0) -> Dict[str,
         if not hasattr(x, "ndim"):
             return x
         name = str(getattr(path[-1], "key", path[-1]))
-        key = jax.random.fold_in(rng, hash("/".join(
+        # stable across processes/runs: Python's hash() is salted per
+        # interpreter, which would desync multi-host replicas and break
+        # seeded reproducibility
+        import zlib
+
+        path_str = "/".join(
             str(getattr(p, "key", getattr(p, "idx", p))) for p in path
-        )) % (2 ** 31))
+        )
+        key = jax.random.fold_in(rng, zlib.crc32(path_str.encode()) & 0x7FFFFFFF)
         if name == "kernel" and x.ndim >= 2:
             return maker(key, x.shape, x.dtype)
         if name in ("bias",):
