@@ -50,6 +50,40 @@ def _logaddexp(a, b):
     )
 
 
+def timesync_init_state(b: int, beam_size: int, max_len: int):
+    """Fresh search state: one live empty-prefix beam per utterance.
+
+    The state tuple is chunk-chainable — feed successive frame chunks to
+    ``ctc_timesync_chunk`` and the result is identical to one pass over the
+    concatenated frames (the streaming partial-hypothesis surface)."""
+    k = beam_size
+    tokens = jnp.zeros((b, k, max_len), jnp.int32)
+    tok_len = jnp.zeros((b, k), jnp.int32)
+    # beam 0 = empty prefix; the rest are dead (-inf, distinct hashes so they
+    # never merge with anything real)
+    log_pb = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
+    log_pnb = jnp.full((b, k), NEG_INF)
+    fusion = jnp.zeros((b, k))  # accumulated ngram + penalty terms
+    h1 = jnp.broadcast_to(jnp.arange(1, k + 1, dtype=jnp.uint32)[None], (b, k))
+    h2 = h1 * jnp.uint32(2654435761)
+    last = jnp.full((b, k), -1, jnp.int32)
+    return (tokens, tok_len, log_pb, log_pnb, fusion, h1, h2, last)
+
+
+def timesync_best(state):
+    """(tokens (B, K, L), lengths (B, K), scores, ctc_scores) best-first."""
+    tokens, tok_len, log_pb, log_pnb, fusion, _, _, _ = state
+    ctc_score = _logaddexp(log_pb, log_pnb)
+    score = ctc_score + fusion
+    order = jnp.argsort(-score, axis=1)
+    return (
+        _gather_beams(tokens, order),
+        _gather_beams(tok_len, order),
+        _gather_beams(score, order),
+        _gather_beams(ctc_score, order),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -73,23 +107,53 @@ def ctc_timesync_beam_search(
     fusion (insertion bonus + weighted n-gram); ``ctc_scores`` is the pure
     log P_ctc term so callers can re-weight the components."""
     b, t, v = log_probs.shape
+    state = timesync_init_state(b, beam_size, max_len)
+    step = _make_step(
+        log_probs, lengths, beam_size, pre_beam, blank_id, penalty,
+        ngram_scorer, ngram_weight,
+    )
+    state = jax.lax.fori_loop(0, t, step, state)
+    return timesync_best(state)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "beam_size", "pre_beam", "blank_id", "penalty",
+        "ngram_scorer", "ngram_weight",
+    ),
+)
+def ctc_timesync_chunk(
+    log_probs: jnp.ndarray,  # (B, Tc, V) CTC log-softmax of this chunk
+    valid_lengths: jnp.ndarray,  # (B,) valid frames within the chunk
+    state,  # from timesync_init_state / a previous chunk
+    beam_size: int = 10,
+    pre_beam: int = 10,
+    blank_id: int = 0,
+    penalty: float = 0.0,
+    ngram_scorer: Optional[Callable] = None,
+    ngram_weight: float = 0.0,
+):
+    """Advance the search over one chunk of frames; chainable — the final
+    state equals one pass over the concatenated chunks. Read partial
+    hypotheses at any point with ``timesync_best(state)``."""
+    step = _make_step(
+        log_probs, valid_lengths, beam_size, pre_beam, blank_id, penalty,
+        ngram_scorer, ngram_weight,
+    )
+    return jax.lax.fori_loop(0, log_probs.shape[1], step, state)
+
+
+def _make_step(log_probs, lengths, beam_size, pre_beam, blank_id, penalty,
+               ngram_scorer, ngram_weight):
+    b, _, v = log_probs.shape
     k = beam_size
     p = min(pre_beam, v - 1)
     n = k * (p + 1)  # stay + extensions per beam
 
-    tokens = jnp.zeros((b, k, max_len), jnp.int32)
-    tok_len = jnp.zeros((b, k), jnp.int32)
-    # beam 0 = empty prefix; the rest are dead (-inf, distinct hashes so they
-    # never merge with anything real)
-    log_pb = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
-    log_pnb = jnp.full((b, k), NEG_INF)
-    fusion = jnp.zeros((b, k))  # accumulated ngram + penalty terms
-    h1 = jnp.broadcast_to(jnp.arange(1, k + 1, dtype=jnp.uint32)[None], (b, k))
-    h2 = h1 * jnp.uint32(2654435761)
-    last = jnp.full((b, k), -1, jnp.int32)
-
     def step(ti, state):
         tokens, tok_len, log_pb, log_pnb, fusion, h1, h2, last = state
+        max_len = tokens.shape[-1]
         lp = log_probs[:, ti]  # (B, V)
         active = (ti < lengths)[:, None]  # (B, 1)
 
@@ -221,15 +285,4 @@ def ctc_timesync_beam_search(
             sel(n_h2, h2), sel(n_last, last),
         )
 
-    state = (tokens, tok_len, log_pb, log_pnb, fusion, h1, h2, last)
-    tokens, tok_len, log_pb, log_pnb, fusion, _, _, _ = jax.lax.fori_loop(
-        0, t, step, state
-    )
-    ctc_score = _logaddexp(log_pb, log_pnb)
-    score = ctc_score + fusion
-    order = jnp.argsort(-score, axis=1)
-    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
-    tok_len = jnp.take_along_axis(tok_len, order, axis=1)
-    score = jnp.take_along_axis(score, order, axis=1)
-    ctc_score = jnp.take_along_axis(ctc_score, order, axis=1)
-    return tokens, tok_len, score, ctc_score
+    return step

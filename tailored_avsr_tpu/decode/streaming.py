@@ -328,3 +328,84 @@ class TransducerStreamer:
             return [[] for _ in range(self.batch)]
         valid = np.full((self.batch,), y.shape[1], np.int32)
         return self._decode_chunk(y, valid)
+
+
+class TimesyncStreamer:
+    """Streaming recognition with PARTIAL BEAM HYPOTHESES: chunked
+    contextual-block encoding + the chunk-chainable frame-synchronous CTC
+    prefix beam search (decode/ctc_timesync.py).
+
+    Each ``accept``/``finalize`` returns the current best partial hypothesis
+    per utterance (token ids); the carried beam state makes the final result
+    identical to offline ``ctc_timesync_beam_search`` over the whole
+    utterance. ``nbest()`` exposes the live n-best at any point.
+    """
+
+    def __init__(self, model, variables, beam_size: int = 10,
+                 pre_beam: int = 10, penalty: float = 0.0,
+                 max_tokens: int = 200, max_positions: int = _MAX_POS):
+        self.model, self.variables = model, variables
+        self.beam_size = int(beam_size)
+        self.pre_beam = int(pre_beam)
+        self.penalty = float(penalty)
+        self.max_tokens = int(max_tokens)
+        self.enc_stream = ContextualBlockStreamer(
+            model, variables, max_positions=max_positions
+        )
+        self._logp_jit = None
+        self.reset(1)
+
+    def reset(self, batch_size: int) -> None:
+        from tailored_avsr_tpu.decode.ctc_timesync import timesync_init_state
+
+        self.batch = batch_size
+        self.enc_stream.reset(batch_size)
+        self._state = timesync_init_state(
+            batch_size, self.beam_size, self.max_tokens
+        )
+
+    def _advance(self, enc_frames: np.ndarray):
+        from tailored_avsr_tpu.decode.ctc_timesync import ctc_timesync_chunk
+
+        if self._logp_jit is None:
+            model = self.model
+
+            def logp(variables, enc):
+                return model.apply(
+                    variables, enc, method=lambda m, x: m.ctc.log_softmax(x)
+                )
+
+            self._logp_jit = jax.jit(logp)
+        lp = self._logp_jit(self.variables, jnp.asarray(enc_frames))
+        self._state = ctc_timesync_chunk(
+            lp, jnp.full((self.batch,), lp.shape[1]), self._state,
+            beam_size=self.beam_size, pre_beam=self.pre_beam,
+            penalty=self.penalty,
+        )
+
+    def nbest(self):
+        """Current (tokens (B, K, L), lengths (B, K), scores (B, K))."""
+        from tailored_avsr_tpu.decode.ctc_timesync import timesync_best
+
+        toks, lens, scores, _ = timesync_best(self._state)
+        return np.asarray(toks), np.asarray(lens), np.asarray(scores)
+
+    def _best_partial(self):
+        toks, lens, _ = self.nbest()
+        return [list(toks[i, 0, : lens[i, 0]]) for i in range(self.batch)]
+
+    def accept(self, feats: np.ndarray):
+        """Feed (B, C, F) feature frames; returns the best PARTIAL hypothesis
+        per utterance so far (token id lists)."""
+        y, _ = self.enc_stream.accept(feats)
+        if y.shape[1]:
+            self._advance(y)
+        return self._best_partial()
+
+    def finalize(self):
+        """Flush the encoder tail; returns the final best hypotheses —
+        identical to offline timesync decoding of the full utterance."""
+        y, _ = self.enc_stream.finalize()
+        if y.shape[1]:
+            self._advance(y)
+        return self._best_partial()

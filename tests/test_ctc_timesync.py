@@ -132,3 +132,32 @@ def test_speech2text_timesync_mode(tmp_path):
         assert scores == sorted(scores, reverse=True)
         for text, toks_, ids, _ in hyps:
             assert all(0 < i < len(s2t.token_list) for i in ids)
+
+
+def test_timesync_chunked_matches_single_pass():
+    """Chunk-chained search state == one pass over concatenated frames (the
+    streaming partial-hypothesis surface)."""
+    from tailored_avsr_tpu.decode.ctc_timesync import (
+        ctc_timesync_chunk,
+        timesync_best,
+        timesync_init_state,
+    )
+
+    key = jax.random.PRNGKey(7)
+    b, t, v = 2, 11, 5
+    lp = jax.nn.log_softmax(jax.random.normal(key, (b, t, v)) * 1.5, -1)
+    lengths = jnp.full((b,), t)
+    want = ctc_timesync_beam_search(lp, lengths, beam_size=4, pre_beam=4,
+                                    max_len=8, penalty=0.3)
+    state = timesync_init_state(b, 4, 8)
+    for a, z in [(0, 4), (4, 5), (5, 11)]:
+        state = ctc_timesync_chunk(
+            lp[:, a:z], jnp.full((b,), z - a), state,
+            beam_size=4, pre_beam=4, penalty=0.3,
+        )
+        # partial hypotheses are readable mid-stream
+        toks, lens, scores, _ = timesync_best(state)
+        assert np.isfinite(float(scores[0, 0]))
+    got = timesync_best(state)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)

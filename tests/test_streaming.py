@@ -161,3 +161,38 @@ def test_transducer_streamer_matches_offline():
         streamed[i].extend(int(x) for x in out[i])
     assert streamed == offline, (streamed, offline)
     assert any(len(s) > 0 for s in streamed)  # nontrivial decode
+
+
+def test_timesync_streamer_matches_offline():
+    """Streaming timesync partial-hypothesis decoding == offline timesync
+    beam search over the full utterance; partials are readable per chunk."""
+    from tailored_avsr_tpu.decode.ctc_timesync import ctc_timesync_beam_search
+    from tailored_avsr_tpu.decode.streaming import TimesyncStreamer
+
+    key = jax.random.PRNGKey(9)
+    model = make_model("contextual_block_transformer")
+    B, T = 2, 203
+    feats = jax.random.normal(key, (B, T, F))
+    flens = jnp.full((B,), T)
+    variables = model.init(key, feats, flens, jnp.array([[1, -1], [2, -1]]),
+                           jnp.array([1, 1]))
+    # offline: batch encode -> ctc log-softmax -> one-pass timesync
+    enc, enc_lens, _ = model.apply(variables, feats, flens, method="encode")
+    logp = model.apply(variables, enc, method=lambda m, x: m.ctc.log_softmax(x))
+    wt, wl, ws, _ = ctc_timesync_beam_search(
+        logp, enc_lens, beam_size=4, pre_beam=4, max_len=60, penalty=0.2)
+
+    st = TimesyncStreamer(model, variables, beam_size=4, pre_beam=4,
+                          penalty=0.2, max_tokens=60)
+    st.reset(B)
+    np_feats = np.asarray(feats)
+    partials = []
+    for a, b in [(0, 60), (60, 120), (120, 203)]:
+        partials.append(st.accept(np_feats[:, a:b]))
+    final = st.finalize()
+    for i in range(B):
+        want = [int(x) for x in np.asarray(wt[i, 0, : int(wl[i, 0])])]
+        got = [int(x) for x in final[i]]
+        assert got == want, (got, want)
+    # partial hypotheses were produced during the stream
+    assert any(len(p[0]) > 0 for p in partials)
