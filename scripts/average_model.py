@@ -30,12 +30,17 @@ def main(argv=None):
 
     paths = list(args.checkpoints)
     if args.exp_dir:
+        from tailored_avsr_tpu.train.checkpoint import top_k_epochs
+
         with open(os.path.join(args.exp_dir, "val_stats.csv")) as f:
             rows = list(csv.DictReader(f))
-        rows.sort(key=lambda r: float(r[args.metric]))
+        stats = [
+            {"epoch": int(r["epoch"]), "cer": float(r[args.metric])}
+            for r in rows
+        ]
         paths += [
-            os.path.join(args.exp_dir, "models", f"model_{int(r['epoch']):03d}.ckpt")
-            for r in rows[: args.top_k]
+            os.path.join(args.exp_dir, "models", f"model_{e:03d}.ckpt")
+            for e in top_k_epochs(stats, args.top_k)
         ]
     assert paths, "no checkpoints given"
     import flax.serialization

@@ -95,6 +95,12 @@ def main(argv=None):
         })
     csv_path = os.path.join(args.output_dir, "branch_scores.csv")
     with open(csv_path, "w", newline="") as f:
+        if not rows:
+            raise SystemExit(
+                "no learned_ave branch weights found — the encoder's "
+                "merge_method must be 'learned_ave' (concat/fixed_ave and "
+                "conformer layers expose no branch scores)"
+            )
         writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         writer.writeheader()
         writer.writerows(rows)

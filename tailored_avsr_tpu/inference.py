@@ -301,7 +301,10 @@ class Speech2Text:
                     res.tokens[:, None], res.lengths[:, None],
                     jnp.zeros(res.lengths.shape)[:, None],
                 )
-            if self.decode_mode == "timesync":
+            # CTC-only models (ctc_weight 1.0 -> no decoder) cannot run the
+            # label-sync joint beam; the frame-sync CTC prefix search IS the
+            # natural pure-CTC beam decoder, so route them there
+            if self.decode_mode == "timesync" or model.decoder is None:
                 from tailored_avsr_tpu.decode.ctc_timesync import (
                     ctc_timesync_beam_search,
                 )
@@ -510,6 +513,7 @@ class Speech2Text:
             self.is_maskctc
             or self.model.joint_network is not None
             or self.decode_mode == "timesync"
+            or self.model.decoder is None  # CTC-only: timesync fallback
         )
         results = []
         for i in range(tokens.shape[0]):

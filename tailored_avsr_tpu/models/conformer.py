@@ -112,7 +112,10 @@ class ConformerEncoderLayer(nn.Module):
         )
         x_in = x
         if self.macaron:
-            x = x + self.ff_scale * self.dropout(
+            # espnet's Conformer scales ALL four residuals by the
+            # stochastic-depth coefficient (unlike Branchformer, which scales
+            # only the merge residual — both match their references)
+            x = x + coeff * self.ff_scale * self.dropout(
                 self.feed_forward_macaron(
                     self.norm_ff_macaron(x), deterministic=deterministic
                 ),
@@ -126,7 +129,7 @@ class ConformerEncoderLayer(nn.Module):
         x = x + coeff * self.dropout(att, deterministic=deterministic)
         h = self.conv_module(self.norm_conv(x), deterministic=deterministic)
         x = x + coeff * self.dropout(h, deterministic=deterministic)
-        x = x + self.ff_scale * self.dropout(
+        x = x + coeff * self.ff_scale * self.dropout(
             self.feed_forward(self.norm_ff(x), deterministic=deterministic),
             deterministic=deterministic,
         )

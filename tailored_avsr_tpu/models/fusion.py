@@ -53,16 +53,13 @@ class AdaptiveAudioVisualFusion(nn.Module):
         self.norm_final = nn.LayerNorm(name="norm_final")
 
     def _pool_weight(self, x, mask, pooling_proj, weight_proj):
-        size = x.shape[-1]
-        score = pooling_proj(x).squeeze(-1).astype(jnp.float32) / (size ** 0.5)
-        if mask is not None:
-            score = jnp.where(mask, score, MASK_MIN)
-            w = jax.nn.softmax(score, axis=-1)
-            w = jnp.where(mask, w, 0.0)
-        else:
-            w = jax.nn.softmax(score, axis=-1)
-        pooled = jnp.einsum("bt,btd->bd", w.astype(x.dtype), x)
-        return weight_proj(pooled)  # (B, 1)
+        from tailored_avsr_tpu.models.branchformer import (
+            attention_pooled_weight,
+        )
+
+        return attention_pooled_weight(
+            x, mask, pooling_proj, weight_proj, x.shape[-1]
+        )
 
     def __call__(
         self,
@@ -107,7 +104,9 @@ class AdaptiveAudioVisualFusion(nn.Module):
         if audio_mask is None and video_mask is None:
             av_mask = None
         else:
-            am = audio_mask if audio_mask is not None else jnp.zeros(av.shape[:2], bool)
-            vm = video_mask if video_mask is not None else jnp.zeros(av.shape[:2], bool)
+            # a None mask means 'all frames valid' — substituting False
+            # would invert it and undercount enc_lens downstream
+            am = audio_mask if audio_mask is not None else jnp.ones(av.shape[:2], bool)
+            vm = video_mask if video_mask is not None else jnp.ones(av.shape[:2], bool)
             av_mask = jnp.logical_or(am, vm)
         return av, av_mask, aux

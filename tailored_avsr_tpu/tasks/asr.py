@@ -75,8 +75,13 @@ class ASRTask:
                 dropout_rate=float(dconf.get("dropout_rate", 0.1)),
             )
         elif ctc_weight < 1.0:
-            if is_maskctc and decoder_name == "transformer":
-                decoder_name = "mlm"
+            if is_maskctc:
+                # Mask-CTC needs the non-causal MLM variant of the decoder
+                decoder_name = {
+                    "transformer": "mlm",
+                    "sim_t": "sim_t_mlm",
+                    "simt": "sim_t_mlm",
+                }.get(decoder_name, decoder_name)
             decoder = build_decoder(
                 decoder_name,
                 decoder_conf,

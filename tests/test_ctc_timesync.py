@@ -161,3 +161,39 @@ def test_timesync_chunked_matches_single_pass():
     got = timesync_best(state)
     for w, g in zip(want, got):
         np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)
+
+
+def test_ctc_only_model_beam_decodes_via_timesync(tmp_path):
+    """A ctc_weight=1.0 model (no decoder) decodes with the frame-sync beam
+    instead of crashing on the label-sync decoder dereference."""
+    import types
+    from tailored_avsr_tpu.inference import Speech2Text
+
+    tok = tmp_path / "tokens.txt"
+    tok.write_text("\n".join(["<blank>", "<unk>"] +
+                              [chr(65 + i) for i in range(6)] + ["<sos/eos>"]))
+    cfg = types.SimpleNamespace(
+        task="asr", token_list=str(tok),
+        frontend="default",
+        frontend_conf={"n_fft": 512, "win_length": 400, "hop_length": 160,
+                       "n_mels": 20},
+        encoder="branchformer",
+        encoder_conf={"output_size": 24, "attention_heads": 4,
+                      "linear_units": 32, "cgmlp_linear_units": 32,
+                      "cgmlp_conv_kernel": 7, "num_blocks": 1,
+                      "input_layer": "conv2d", "dropout_rate": 0.0},
+        model="espnet", model_conf={"ctc_weight": 1.0},
+        inference_conf={"beam_size": 3, "ctc_weight": 1.0},
+    )
+    rng = np.random.RandomState(0)
+    B, S = 2, 640 * 5
+    batch = {"speech": (rng.randn(B, S) * 0.1).astype(np.float32),
+             "speech_lengths": np.full((B,), S, np.int32),
+             "text": np.ones((B, 4), np.int32),
+             "text_lengths": np.full((B,), 4, np.int32)}
+    s2t = Speech2Text(cfg)
+    assert s2t.model.decoder is None
+    res = s2t(batch)
+    assert len(res) == B
+    for text, toks_, ids in res:
+        assert all(0 < i < len(s2t.token_list) for i in ids)
