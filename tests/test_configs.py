@@ -26,3 +26,22 @@ def test_config_builds_model(path, monkeypatch):
     cls = AVSRTask if cfg.task == "avsr" else ASRTask
     model = cls.build_model(cfg, conv.token_list)
     assert model.vocab_size == len(conv.token_list)
+
+
+LM_CONFIGS = sorted(glob.glob(os.path.join(ROOT, "configs", "LM", "*.yaml")))
+
+
+@pytest.mark.parametrize(
+    "path", LM_CONFIGS, ids=[os.path.basename(p) for p in LM_CONFIGS]
+)
+def test_lm_config_builds_model(path, monkeypatch):
+    monkeypatch.chdir(ROOT)
+    from tailored_avsr_tpu.data import get_tokenizer_converter
+    from tailored_avsr_tpu.tasks.lm import LMTask
+    from tailored_avsr_tpu.utils.config import load_config, security_checks
+
+    cfg = load_config(path)
+    security_checks(cfg)
+    _, conv = get_tokenizer_converter(cfg)
+    model = LMTask.build_model(cfg, conv.token_list)
+    assert model.vocab_size == len(conv.token_list)
