@@ -362,7 +362,11 @@ def run_inference(args, config, tokenizer, converter, transforms):
 
 def build_transforms(args):
     mean, std = 0.421, 0.165
-    noise = load_wav(args.noise) if args.noise and os.path.exists(args.noise) else None
+    if args.noise and not os.path.exists(args.noise):
+        raise FileNotFoundError(
+            f"--noise {args.noise!r} not found (shipped assets: assets/noise/)"
+        )
+    noise = load_wav(args.noise) if args.noise else None
     return {
         "train_audio": Compose([SpeedRate(sample_rate=16000)]),
         "eval_audio": Compose(

@@ -145,6 +145,40 @@ def test_avsr_mask_robustness_inference(corpus, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "inference", "masked.inf"))
 
 
+def test_noise_robust_inference(corpus, tmp_path):
+    """Noise-robust eval (driver config #5): the shipped pink-noise asset mixed
+    at --snr-target 5 through the CLI (ref src/noise/*,
+    src/transforms/audio_transforms.py:74-139)."""
+    csv_path, token_path = corpus
+    cfg = write_tiny_config(tmp_path, token_path)
+    out_dir = str(tmp_path / "exp_noise")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    noise_path = os.path.join(root, "assets", "noise", "pink_noise.wav")
+    assert os.path.exists(noise_path), "run scripts/make_noise.py"
+    import avsr_main
+
+    avsr_main.main([
+        "--config-file", cfg,
+        "--test-dataset", csv_path,
+        "--mode", "inference",
+        "--noise", noise_path,
+        "--snr-target", "5",
+        "--output-dir", out_dir,
+        "--output-name", "noisy",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "inference", "noisy.inf"))
+    # a missing --noise path must fail loudly, not silently run clean
+    with pytest.raises(FileNotFoundError):
+        avsr_main.main([
+            "--config-file", cfg,
+            "--test-dataset", csv_path,
+            "--mode", "inference",
+            "--noise", str(tmp_path / "nope.wav"),
+            "--output-dir", out_dir,
+            "--output-name", "noisy2",
+        ])
+
+
 def test_nbest_inference_outputs(corpus, tmp_path):
     """inference_conf.nbest > 1 writes espnet-style nbest dirs and the 1-best
     .inf; Speech2Text.nbest returns sorted hypotheses."""
