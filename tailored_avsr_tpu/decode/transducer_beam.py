@@ -8,9 +8,15 @@ exactly one symbol — blank (advance one encoder frame) or a token (stay on the
 frame, grow the label prefix) — so the whole search is a fixed
 ``T + max_symbols`` iteration ``lax.fori_loop`` over (B, K) tensorized beams.
 Hypotheses that consume all frames migrate to a finished buffer via top-k
-merge. Equal label-prefixes at the same encoder frame are merged each step
-(logaddexp into the lowest-index beam row, duplicates retired) — the
-tensorized analogue of espnet's prefix-alpha recombination.
+merge. Candidates with equal (label-prefix, encoder-frame) are merged by
+log-sum-exp BEFORE the beam top-k (lowest-index candidate becomes canonical,
+duplicates retired) — the tensorized analogue of espnet's prefix-alpha
+recombination. Because every path to the same (prefix, frame) pair has the
+same alignment length u + t, all of its paths meet at the same loop step, so
+the merge is exact: with a beam wide enough to hold every reachable pair the
+search returns the true sum-over-alignments sequence probabilities
+(property-tested against exhaustive enumeration in
+tests/test_transducer_beam.py).
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ def transducer_beam_search(
     max_symbols: int = 50,
     blank_id: int = 0,
     prune_tokens: int = 4,  # token expansions considered per hypothesis
+    merge_prefixes: bool = True,  # log-sum-exp equal (prefix, frame) candidates
 ) -> TransducerBeamResult:
     b, t, _ = enc.shape
     k = beam_size
@@ -88,6 +95,50 @@ def transducer_beam_search(
         cand_scores = jnp.concatenate(
             [blank_score[:, None], tok_scores], axis=1
         ).reshape(b, k * p1)
+
+        if merge_prefixes:
+            # ---- prefix merging BEFORE top-k: candidates with identical
+            # (label prefix, encoder frame) are the same hypothesis — their
+            # prediction-network states are functions of the token history —
+            # so log-sum-exp their path probabilities into the lowest-index
+            # candidate and retire the duplicates. Collisions arise when a
+            # blank extension of (y, t) meets a token extension u of (y', t+1)
+            # with y = y' + u, or trivially between equal candidates.
+            hyp_tokens = tokens.reshape(n, lmax)
+            hyp_lens = lens.reshape(n)
+            app_pos = jnp.arange(lmax)[None, :] == hyp_lens[:, None]  # (N, L)
+            appended = jnp.where(
+                app_pos[:, None, :], top_id[:, :, None], hyp_tokens[:, None, :]
+            )  # (N, P, L)
+            cand_tokens = jnp.concatenate(
+                [hyp_tokens[:, None, :], appended], axis=1
+            )  # (N, P1, L)
+            kind = jnp.arange(p1)
+            cand_lens = hyp_lens[:, None] + (kind > 0).astype(jnp.int32)
+            cand_frame = t_idx.reshape(n)[:, None] + (kind == 0).astype(jnp.int32)
+            c = k * p1
+            ct = cand_tokens.reshape(b, c, lmax)
+            cl = cand_lens.reshape(b, c)
+            cf = cand_frame.reshape(b, c)
+            okay = cand_scores > NEG_INF / 2  # (B, C)
+            pos_valid = jnp.arange(lmax)[None, None, :] < cl[:, :, None]
+            tok_cmp = jnp.where(pos_valid, ct, -1)
+            eq = (
+                (cl[:, :, None] == cl[:, None, :])
+                & (cf[:, :, None] == cf[:, None, :])
+                & jnp.all(tok_cmp[:, :, None, :] == tok_cmp[:, None, :, :], axis=-1)
+                & okay[:, :, None]
+                & okay[:, None, :]
+            )  # (B, C, C)
+            first_in_group = jnp.argmax(eq, axis=-1)  # lowest j with eq[i, j]
+            merged_sc = jax.nn.logsumexp(
+                jnp.where(eq, cand_scores[:, None, :], NEG_INF), axis=-1
+            )
+            is_canonical = first_in_group == jnp.arange(c)[None, :]
+            cand_scores = jnp.where(
+                okay, jnp.where(is_canonical, merged_sc, NEG_INF), cand_scores
+            )
+
         top_sc, top_ix = jax.lax.top_k(cand_scores, k)  # (B, K)
         src_hyp = top_ix // p1  # (B, K)
         cand_kind = top_ix % p1  # 0 = blank, >=1 token index+1
@@ -137,36 +188,9 @@ def transducer_beam_search(
             new_lens.reshape(b, k)[bidx, new_rows],
         )
         fin_scores = best
-        # finished hyps leave the alive beam
+        # finished hyps leave the alive beam (candidates were already
+        # prefix-merged before selection, so the survivors are unique)
         alive_scores = jnp.where(done, NEG_INF, top_sc.reshape(n)).reshape(b, k)
-
-        # ---- prefix merging: hypotheses with the same label prefix at the
-        # same encoder frame are the SAME hypothesis (their prediction-network
-        # states are identical, being functions of the token history); merge
-        # their path probabilities with logaddexp into the lowest-index row
-        # and retire the duplicates (espnet BeamSearchTransducer's
-        # prefix-alpha behavior, tensorized as a (K, K) equality matrix)
-        tk = new_tokens.reshape(b, k, lmax)
-        ln = new_lens.reshape(b, k)
-        tx = new_t.reshape(b, k)
-        okay = alive_scores > NEG_INF / 2  # (B, K)
-        pos_valid = jnp.arange(lmax)[None, None, :] < ln[:, :, None]
-        tok_cmp = jnp.where(pos_valid, tk, -1)
-        eq = (
-            (ln[:, :, None] == ln[:, None, :])
-            & (tx[:, :, None] == tx[:, None, :])
-            & jnp.all(tok_cmp[:, :, None, :] == tok_cmp[:, None, :, :], axis=-1)
-            & okay[:, :, None]
-            & okay[:, None, :]
-        )  # (B, K, K)
-        first_in_group = jnp.argmax(eq, axis=-1)  # lowest j with eq[i, j]
-        merged = jax.nn.logsumexp(
-            jnp.where(eq, alive_scores[:, None, :], NEG_INF), axis=-1
-        )
-        is_canonical = first_in_group == jnp.arange(k)[None, :]
-        alive_scores = jnp.where(
-            okay, jnp.where(is_canonical, merged, NEG_INF), alive_scores
-        )
 
         return (
             new_tokens.reshape(b, k, lmax), new_lens.reshape(b, k), alive_scores,

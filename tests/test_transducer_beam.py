@@ -108,3 +108,125 @@ def test_beam_contains_greedy_or_better():
     for row in range(b):
         gs = greedy_score(row)
         assert float(res.scores[row, 0]) >= gs - 1e-3, (row, gs, res.scores[row])
+
+
+# ---------------------------------------------------------------------------
+# exhaustive-enumeration property: with a beam wide enough to hold every
+# reachable (prefix, frame) pair and all token expansions, prefix-merged ALSD
+# returns the EXACT sum-over-alignments log P(y) for every finished sequence
+# (espnet BeamSearchTransducer prefix-alpha semantics).
+# ---------------------------------------------------------------------------
+
+V2 = 3  # blank + 2 tokens
+
+
+def make_tiny_nets(key):
+    joint = JointNetwork(vocab_size=V2, joint_dim=6)
+    pn = PredictionNetwork(vocab_size=V2, embed_dim=6, hidden_dim=8, dropout_rate=0.0)
+    labels = jnp.array([[1, 2, -1]])
+    pv = pn.init(key, labels)
+    jp = joint.init(key, jnp.zeros((1, 1, 1, D)), jnp.zeros((1, 1, 1, 8)))
+
+    def pred_apply(state, label):
+        return pn.apply(pv, state, label, method="step")
+
+    def joint_apply(enc_t, g):
+        return joint.apply(jp, enc_t[:, None, None], g[:, None, None]).reshape(
+            enc_t.shape[0], -1
+        )
+
+    return pn, pv, pred_apply, joint_apply
+
+
+def exact_seq_logprob(enc_row, T, seq, pn, pv, pred_apply, joint_apply):
+    """Transducer forward DP: log sum over all monotonic alignments of seq."""
+    U = len(seq)
+    # g_u = prediction output after consuming seq[:u]
+    gs = []
+    state = pn.apply(pv, 1, method="initial_state")
+    last = -1
+    for u in range(U + 1):
+        state_next, g = pred_apply(state, jnp.array([last], jnp.int32))
+        gs.append(g)
+        if u < U:
+            state = state_next
+            last = seq[u]
+    logp = np.array([
+        [np.asarray(jax.nn.log_softmax(
+            joint_apply(enc_row[t][None], gs[u]).astype(jnp.float32), -1
+        ))[0] for u in range(U + 1)]
+        for t in range(T)
+    ])  # (T, U+1, V)
+    alpha = np.full((T + 1, U + 1), -np.inf)
+    alpha[0, 0] = 0.0
+    for t in range(T):
+        for u in range(U + 1):
+            if not np.isfinite(alpha[t, u]):
+                continue
+            alpha[t + 1, u] = np.logaddexp(alpha[t + 1, u], alpha[t, u] + logp[t, u, 0])
+            if u < U:
+                alpha[t, u + 1] = np.logaddexp(
+                    alpha[t, u + 1], alpha[t, u] + logp[t, u, seq[u]]
+                )
+    return alpha[T, U]
+
+
+def all_sequences(max_len):
+    seqs = [()]
+    frontier = [()]
+    for _ in range(max_len):
+        frontier = [s + (tok,) for s in frontier for tok in (1, 2)]
+        seqs.extend(frontier)
+    return seqs
+
+
+def test_merged_beam_matches_exhaustive_enumeration():
+    """Wide prefix-merged beam == exact forward DP for every sequence; the
+    unmerged beam never beats it (VERDICT round-1 item 8)."""
+    key = jax.random.PRNGKey(3)
+    pn, pv, pred_apply, joint_apply = make_tiny_nets(key)
+    T, lmax, k = 3, 3, 16
+    enc = jax.random.normal(key, (1, T, D))
+    elens = jnp.array([T])
+    init_state = pn.apply(pv, k, method="initial_state")
+
+    exact = {
+        seq: exact_seq_logprob(enc[0], T, list(seq), pn, pv, pred_apply, joint_apply)
+        for seq in all_sequences(lmax)
+    }
+
+    res = transducer_beam_search(
+        enc, elens, pred_apply, joint_apply, init_state,
+        beam_size=k, max_symbols=lmax, prune_tokens=V2 - 1,
+    )
+    found = {}
+    for i in range(k):
+        sc = float(res.scores[0, i])
+        if sc < -1e9:
+            continue
+        L = int(res.lengths[0, i])
+        found[tuple(int(x) for x in res.tokens[0, i, :L])] = sc
+    # every finished hypothesis carries the exact marginal
+    assert found, "no finished hypotheses"
+    for seq, sc in found.items():
+        assert abs(sc - exact[seq]) < 1e-3, (seq, sc, exact[seq])
+    # the beam's best == the true MAP sequence
+    best_seq = max(exact, key=exact.get)
+    top = max(found, key=found.get)
+    assert top == best_seq and abs(found[top] - exact[best_seq]) < 1e-3
+
+    # merged >= unmerged: without recombination, per-sequence scores are only
+    # single-path lower bounds
+    res_nm = transducer_beam_search(
+        enc, elens, pred_apply, joint_apply, init_state,
+        beam_size=k, max_symbols=lmax, prune_tokens=V2 - 1,
+        merge_prefixes=False,
+    )
+    assert float(res.scores[0, 0]) >= float(res_nm.scores[0, 0]) - 1e-5
+    for i in range(k):
+        sc = float(res_nm.scores[0, i])
+        if sc < -1e9:
+            continue
+        L = int(res_nm.lengths[0, i])
+        seq = tuple(int(x) for x in res_nm.tokens[0, i, :L])
+        assert sc <= exact[seq] + 1e-3, (seq, sc, exact[seq])
