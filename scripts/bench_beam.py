@@ -1,87 +1,132 @@
-"""Bench: full joint CTC/attention beam-search loop at DESIGN.md dims.
+#!/usr/bin/env python
+"""RTF-vs-batch curve for the WER-parity decode path: joint CTC/attention
+beam search + Transformer-LM shallow fusion on the flagship tailored AVSR
+model (the configuration the reference scores with,
+ref src/inference/avsr_inference.py:277-309).
 
-Synthetic encoder output (B=8 utterances, T=102 frames, D=256, V=41),
-6-layer transformer decoder with the KV-cache fast path, beam 10 — the
-end-to-end jitted decode graph of Speech2Text minus the encoder.
+Device-resident timing (inputs staged with device_put_batch, results fetched
+to host each iteration). Two operating points per (batch, beam):
+
+- ``full``: early_exit off — the loop runs all T steps (worst case, matches
+  the round-1 measurement protocol);
+- ``realistic``: early_exit on with minlenratio 0.6 — hypotheses cannot
+  finish before 60% of the frames (a 4 s utterance is ~60 chars at 25 fps
+  encoder rate), after which the exact upper-bound termination stops the
+  loop; with random weights this brackets trained-model behavior, where the
+  text ends well before one-token-per-frame.
+
+Usage: PYTHONPATH=/root/.axon_site python scripts/bench_beam.py [--quick]
+Prints one JSON line per configuration plus a summary table.
 """
 
+from __future__ import annotations
+
+import argparse
+import json
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-from tailored_avsr_tpu.decode.beam_search import BeamSearchConfig, beam_search
-from tailored_avsr_tpu.models.decoder import TransformerDecoder
-
-B, T, V, D, BEAM = 8, 102, 41, 256, 10
-N = B * BEAM
+import numpy as np
 
 
-def main(dtype=jnp.float32):
-    dec = TransformerDecoder(
-        vocab_size=V, encoder_output_size=D, attention_heads=4,
-        linear_units=2048, num_blocks=6, dropout_rate=0.0,
-        positional_dropout_rate=0.0,
-    )
-    key = jax.random.PRNGKey(0)
-    memory = jax.random.normal(key, (B, T, D), dtype)
-    enc_lens = jnp.full((B,), T, jnp.int32)
-    ctc_logp = jax.nn.log_softmax(
-        jax.random.normal(jax.random.PRNGKey(1), (B, T, V)), axis=-1
-    )
-    ys0 = jnp.full((N, 8), V - 1, jnp.int32)
-    variables = dec.init(key, memory, None, ys0[:B], jnp.full((B,), 8))
-    if dtype == jnp.bfloat16:
-        variables = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            variables,
-        )
+def make_batch(batch: int, frames: int):
+    rng = np.random.RandomState(0)
+    samples = frames * 640
+    return {
+        "audio": rng.randn(batch, samples).astype(np.float32) * 0.1,
+        "audio_lengths": np.full((batch,), samples, np.int32),
+        "video": rng.randn(batch, frames, 88, 88).astype(np.float32),
+        "video_lengths": np.full((batch,), frames, np.int32),
+        "text": np.ones((batch, 8), np.int32),
+        "text_lengths": np.full((batch,), 8, np.int32),
+    }
 
-    cfg = BeamSearchConfig(beam_size=BEAM, ctc_weight=0.3)
 
-    @jax.jit
-    def decode(memory, ctc_logp, enc_lens):
-        mem_kv = dec.apply(
-            variables, memory, method=lambda m, x: m.precompute_memory(x)
-        )
-        mem_kv = jax.tree_util.tree_map(
-            lambda x: jnp.repeat(x, BEAM, axis=0), mem_kv
-        )
-        att_state = dec.init_cache(N, T, dtype=memory.dtype)
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="batch 8 only")
+    parser.add_argument("--frames", type=int, default=100)
+    parser.add_argument("--iters", type=int, default=5)
+    args = parser.parse_args()
 
-        def att_fn(ys, pos, cache):
-            return dec.apply(
-                variables, mem_kv, None, ys, pos, cache,
-                method=lambda m, *a: m.score_step_cached(*a),
+    import jax
+
+    from tailored_avsr_tpu.inference import Speech2Text
+    from tailored_avsr_tpu.utils.config import load_config
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    frames = args.frames
+    audio_seconds_per_utt = frames * 640 / 16000.0
+
+    results = []
+    batches = [8] if args.quick else [8, 32, 64, 128]
+    for beam in (10, 30):
+        for mode, inf_over in (
+            ("full", {"early_exit": False, "minlenratio": 0.0}),
+            ("realistic", {"early_exit": True, "minlenratio": 0.6}),
+        ):
+            cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
+            lm_cfg = load_config("configs/LM/lm_spanish.yaml")
+            if on_tpu:
+                cfg.dtype = "bfloat16"
+                cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
+            cfg.inference_conf = dict(
+                cfg.inference_conf,
+                beam_size=beam,
+                ctc_weight=0.1,
+                lm_weight=0.4,
+                batch_size=0,
+                **inf_over,
             )
+            s2t = Speech2Text(cfg, lm_config=lm_cfg)
+            for batch in batches:
+                data = make_batch(batch, frames)
+                data = s2t.device_put_batch(data)
+                # warmup/compile (tunnel can drop transiently; retry)
+                for attempt in range(3):
+                    try:
+                        s2t._decode_arrays(data)
+                        break
+                    except Exception:
+                        if attempt == 2:
+                            raise
+                        time.sleep(10)
+                times = []
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    s2t._decode_arrays(data)  # np.asarray inside = honest fetch
+                    times.append(time.perf_counter() - t0)
+                dt = min(times)
+                rtf = batch * audio_seconds_per_utt / dt
+                row = {
+                    "metric": f"avsr_beam{beam}_lm_rtf_{mode}",
+                    "batch": batch,
+                    "beam": beam,
+                    "mode": mode,
+                    "ms_per_batch": round(dt * 1e3, 1),
+                    "value": round(rtf, 1),
+                    "unit": "x_realtime_per_chip",
+                }
+                results.append(row)
+                print(json.dumps(row), flush=True)
+            del s2t  # free the jit cache before the next config
 
-        return beam_search(
-            att_fn, ctc_logp, enc_lens, sos=V - 2, eos=V - 1, config=cfg,
-            att_state=att_state,
-        )
-
-    t0 = time.perf_counter()
-    res = decode(memory, ctc_logp, enc_lens)
-    jax.block_until_ready(res)
-    compile_s = time.perf_counter() - t0
-    times = []
-    for i in range(5):
-        mem = memory + jnp.asarray(1e-6 * (i + 1), dtype)
-        mem.block_until_ready()
-        t0 = time.perf_counter()
-        jax.block_until_ready(decode(mem, ctc_logp, enc_lens))
-        times.append(time.perf_counter() - t0)
-    ms = min(times) * 1e3
-    audio_s = B * T * 4 / 100.0  # 102 frames ~ 4 s at 25 fps
-    print(
-        f"beam loop ({jnp.dtype(dtype).name}): {ms:.1f} ms for {B}x{T} steps"
-        f"  ({ms / T * 1e3:.0f} us/step, {audio_s / (ms / 1e3):.0f}x RT)"
-        f"  [compile {compile_s:.0f} s]"
-    )
+    print("\n| beam | mode | " + " | ".join(f"b={b}" for b in batches) + " |")
+    print("|---|---|" + "---|" * len(batches))
+    for beam in (10, 30):
+        for mode in ("full", "realistic"):
+            vals = [
+                r["value"]
+                for r in results
+                if r["beam"] == beam and r["mode"] == mode
+            ]
+            print(
+                f"| {beam} | {mode} | "
+                + " | ".join(f"{v}x" for v in vals)
+                + " |"
+            )
+    return results
 
 
 if __name__ == "__main__":
-    print("device:", jax.devices()[0])
-    main(jnp.float32)
-    main(jnp.bfloat16)
+    sys.exit(0 if main() else 1)

@@ -13,9 +13,13 @@ tensorized beams (SURVEY.md §7 "hard parts"):
 - finished hypotheses (eos emitted) migrate to a separate finished buffer via
   a top-k merge each step; at each utterance's maxlen the search is forced to
   emit eos (espnet appends eos at maxlen);
-- the whole search is one ``lax.fori_loop`` — jittable, batched over B
+- the whole search is one ``lax.while_loop`` — jittable, batched over B
   utterances (the reference decodes batch_size=1 only; pod-batched decoding is
-  the main RTF headroom identified in SURVEY.md §7.9).
+  the main RTF headroom identified in SURVEY.md §7.9) — with EXACT early
+  termination: the loop stops as soon as no alive hypothesis' score upper
+  bound (alive + remaining_steps * max(0, penalty); all other per-step deltas
+  are log-probs <= 0) can displace the nbest-th finished score of any
+  utterance, which provably leaves the returned n-best unchanged.
 """
 
 from __future__ import annotations
@@ -48,6 +52,7 @@ class BeamSearchConfig:
     minlenratio: float = 0.0
     pre_beam_ratio: float = 1.5
     nbest: int = 1
+    early_exit: bool = True  # exact upper-bound loop termination (see below)
 
 
 class BeamSearchResult(NamedTuple):
@@ -83,7 +88,11 @@ def beam_search(
     b, t, v = ctc_logp.shape
     k = config.beam_size
     p = min(v, max(1, int(config.pre_beam_ratio * k)))
-    lmax = t  # decode at most one token per encoder frame
+    # decode at most one token per encoder frame; a positive maxlenratio also
+    # caps the COMPILED loop length (smaller token buffer, shorter worst case)
+    lmax = t if config.maxlenratio == 0.0 else max(
+        1, min(t, int(config.maxlenratio * t))
+    )
     n = b * k
 
     use_ctc = config.ctc_weight > 0.0
@@ -123,8 +132,8 @@ def beam_search(
 
     stateful = att_state is not None
 
-    def step(i, carry):
-        ys, scores, ctc_state, att_st, fin_tokens, fin_scores, fin_lengths = carry
+    def step(carry):
+        i, ys, scores, ctc_state, att_st, fin_tokens, fin_scores, fin_lengths = carry
         pos = i + 1  # position being generated
         ys_flat = ys.reshape(n, lmax + 2)
         if stateful:
@@ -220,14 +229,30 @@ def beam_search(
                 att_st = att_gather_fn(att_st, g_src, jnp.asarray(pos))
             else:
                 att_st = jax.tree_util.tree_map(lambda x: x[g_src], att_st)
-        return (new_ys, top_alive, ctc_state, att_st, fin_tokens, fin_scores,
-                fin_lengths)
-
-    carry = (ys, scores, ctc_state, att_state, fin_tokens, fin_scores, fin_lengths)
-    carry = jax.lax.fori_loop(0, lmax, step, carry)
-    _, _, _, _, fin_tokens, fin_scores, fin_lengths = carry
+        return (i + 1, new_ys, top_alive, ctc_state, att_st, fin_tokens,
+                fin_scores, fin_lengths)
 
     nbest = min(config.nbest, k)
+
+    def cond(carry):
+        # EXACT early termination: every per-step score delta is a log-prob
+        # (<= 0) plus the length penalty, so an alive hypothesis can gain at
+        # most max(0, penalty) per remaining step. Once even the best alive
+        # hypothesis' upper bound cannot displace the nbest-th finished score
+        # for ANY utterance, running further steps cannot change the result.
+        i, _, scores, _, _, _, fin_scores, _ = carry
+        if not config.early_exit:
+            return i < lmax
+        pen = max(config.penalty, 0.0)
+        steps_left = jnp.maximum(maxlen - i, 0).astype(scores.dtype)  # (B,)
+        bound = jnp.max(scores, axis=1) + steps_left * pen  # (B,)
+        thresh = fin_scores[:, nbest - 1]  # nbest-th best finished so far
+        return (i < lmax) & ~jnp.all(bound <= thresh)
+
+    carry = (jnp.asarray(0, jnp.int32), ys, scores, ctc_state, att_state,
+             fin_tokens, fin_scores, fin_lengths)
+    carry = jax.lax.while_loop(cond, step, carry)
+    _, _, _, _, _, fin_tokens, fin_scores, fin_lengths = carry
     best_scores, best_idx = jax.lax.top_k(fin_scores, nbest)
     batch_idx = jnp.arange(b)[:, None]
     return BeamSearchResult(

@@ -68,6 +68,7 @@ class Speech2Text:
             maxlenratio=float(inf.get("maxlenratio", 0.0)),
             minlenratio=float(inf.get("minlenratio", 0.0)),
             nbest=int(inf.get("nbest", 1)),
+            early_exit=bool(inf.get("early_exit", True)),
         )
         self.maskctc_n_iterations = int(inf.get("maskctc_n_iterations", 10))
         self.maskctc_threshold = float(inf.get("maskctc_threshold_probability", 0.999))

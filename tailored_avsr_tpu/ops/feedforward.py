@@ -18,7 +18,9 @@ import jax.numpy as jnp
 def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     table = {
         "relu": nn.relu,
-        "gelu": nn.gelu,
+        # exact (erf) form: torch nn.GELU() default, which the reference uses;
+        # flax's default approximate=True (tanh) drifts ~1e-3 per activation
+        "gelu": lambda x: nn.gelu(x, approximate=False),
         "swish": nn.silu,
         "silu": nn.silu,
         "selu": nn.selu,
