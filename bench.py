@@ -3,7 +3,8 @@
 model (256-d, 12-block tailored audio-visual Branchformer, the reference's
 headline config) on whatever accelerator JAX sees (TPU chip under the driver).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus measured
+perf-accounting fields: "flops_per_utt", "tf_per_sec", "mfu_pct"}.
 
 Metric: real-time factor of full AVSR inference (audio+video frontends,
 tailored encoder with the Pallas fused-attention kernel, adaptive fusion,
@@ -14,6 +15,12 @@ comparable espnet-class AVSR stacks runs around ~30x real time at batch 1;
 vs_baseline reports value / (5 * 30) — progress toward the 5x-A100 target
 under that stand-in until a measured A100 number exists.
 
+MFU: FLOPs are XLA's own cost analysis of the exact compiled graph
+(compiled.cost_analysis()['flops']) divided by measured wall time and the
+chip's peak dense bf16 throughput (TPU v5e = 197 TF/s). ``--full`` also
+measures the joint CTC/attention+LM beam-decode graph and a training step
+(loss+grads+AdamW) and prints one extra JSON line for each.
+
 Timing fetches the result every iteration (np.asarray): on some transports
 (the axon tunnel) block_until_ready returns before execution finishes, so
 fetch-free timing over-reports throughput.
@@ -21,19 +28,93 @@ fetch-free timing over-reports throughput.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
+# peak dense-matmul throughput per chip, bf16 (TF/s)
+PEAK_TFLOPS = {
+    "v5 lite": 197.0,  # TPU v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6": 918.0,  # Trillium
+}
+
+
+def peak_for(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, tf in PEAK_TFLOPS.items():
+        if key in kind:
+            return tf
+    return None
+
+
+def graph_flops(jitted, *args) -> float | None:
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops")) if ca and "flops" in ca else None
+    except Exception:
+        return None
+
+
+def timed(fn, *args, iters=10):
+    """min wall time with honest result fetch (see module docstring)."""
+    for attempt in range(3):  # the remote tunnel can drop transiently
+        try:
+            out = fn(*args)
+            np.asarray(jax_leaves(out)[0])
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax_leaves(out)[0])
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def jax_leaves(tree):
+    import jax
+
+    return [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "shape")]
+
+
+def perf_fields(flops, dt, peak_tf, batch):
+    out = {}
+    if flops:
+        tf_s = flops / dt / 1e12
+        out["flops_per_utt"] = round(flops / batch / 1e9, 2)  # GFLOPs
+        out["tf_per_sec"] = round(tf_s, 1)
+        if peak_tf:
+            out["mfu_pct"] = round(100.0 * tf_s / peak_tf, 1)
+    return out
+
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--full", action="store_true",
+        help="also bench the beam+LM decode graph and a training step",
+    )
+    args_cli = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_flagship
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    peak_tf = peak_for(dev)
     model = _build_flagship(use_flash=on_tpu)
 
     # 4-second utterances at 25 fps; throughput saturates at batch 128
@@ -69,38 +150,117 @@ def main():
             variables, audio, alens, video, vlens, method="ctc_greedy"
         )
 
-    # warmup/compile — the remote-compile tunnel can drop transiently; retry
-    for attempt in range(3):
-        try:
-            ids, lens = infer(audio, alens, video, vlens)
-            np.asarray(ids)  # fetch: block_until_ready may lie (see docstring)
-            break
-        except Exception:
-            if attempt == 2:
-                raise
-            time.sleep(10)
-
-    iters = 10
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        ids, lens = infer(audio, alens, video, vlens)
-        np.asarray(ids)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = timed(infer, audio, alens, video, vlens)
+    flops = graph_flops(infer, audio, alens, video, vlens)
 
     audio_seconds = batch * samples / 16000.0
     rtf = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": "avsr_inference_rtf_greedy_batch128_bf16",
-                "value": round(rtf, 2),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(rtf / 150.0, 3),
-            }
-        )
+    line = {
+        "metric": "avsr_inference_rtf_greedy_batch128_bf16",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 150.0, 3),
+    }
+    line.update(perf_fields(flops, dt, peak_tf, batch))
+    print(json.dumps(line), flush=True)
+
+    if not args_cli.full:
+        return
+
+    # ---- joint CTC/attention + LM beam decode (the WER-parity path) --------
+    from tailored_avsr_tpu.inference import Speech2Text
+    from tailored_avsr_tpu.utils.config import load_config
+
+    cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
+    lm_cfg = load_config("configs/LM/lm_spanish.yaml")
+    if on_tpu:
+        cfg.dtype = "bfloat16"
+        cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
+    beam_batch = 32
+    cfg.inference_conf = dict(
+        cfg.inference_conf, beam_size=10, ctc_weight=0.1, lm_weight=0.4,
+        early_exit=False,
     )
+    s2t = Speech2Text(cfg, lm_config=lm_cfg)
+    data = {
+        "audio": np.asarray(audio[:beam_batch], np.float32),
+        "audio_lengths": np.asarray(alens[:beam_batch]),
+        "video": np.asarray(video[:beam_batch], np.float32),
+        "video_lengths": np.asarray(vlens[:beam_batch]),
+        "text": np.ones((beam_batch, 8), np.int32),
+        "text_lengths": np.full((beam_batch,), 8, np.int32),
+    }
+    data = s2t.device_put_batch(data)
+    s2t._decode_arrays(data)  # compile
+    bargs = s2t._shard_args(s2t._model_args(data))
+    key = tuple((a.shape, str(a.dtype)) for a in bargs)
+    bjit = s2t._decode_jit[key]
+    dt_b = timed(bjit, s2t.variables, *bargs, iters=5)
+    flops_b = graph_flops(bjit, s2t.variables, *bargs)
+    rtf_b = beam_batch * samples / 16000.0 / dt_b
+    line = {
+        "metric": "avsr_beam10_lm_rtf_batch32_bf16",
+        "value": round(rtf_b, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf_b / 150.0, 3),
+    }
+    line.update(perf_fields(flops_b, dt_b, peak_tf, beam_batch))
+    print(json.dumps(line), flush=True)
+
+    # ---- training step: hybrid loss + grads + AdamW ------------------------
+    import optax
+
+    tb, tframes = 16, 100
+    tsamples = tframes * 640
+    t_audio = jnp.asarray(
+        rng.randn(tb, tsamples).astype(np.float32) * 0.1
+    )
+    t_alens = jnp.full((tb,), tsamples, np.int32)
+    t_video = jnp.asarray(rng.randn(tb, tframes, 88, 88).astype(np.float32))
+    t_vlens = jnp.full((tb,), tframes, np.int32)
+    t_text = jnp.asarray(rng.randint(3, 30, (tb, 30)), np.int32)
+    t_tlens = jnp.full((tb,), 30, np.int32)
+    tmodel = _build_flagship(use_flash=False)
+    tvars = tmodel.init(
+        {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)},
+        t_audio[:2], t_alens[:2], t_video[:2], t_vlens[:2],
+        t_text[:2], t_tlens[:2],
+    )
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(tvars["params"])
+    if on_tpu:
+        t_audio = t_audio.astype(jnp.bfloat16)
+        t_video = t_video.astype(jnp.bfloat16)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, *batch):
+        def loss_fn(p):
+            (loss, stats), new_vars = tmodel.apply(
+                {"params": p, "batch_stats": batch_stats}, *batch,
+                deterministic=False,
+                rngs={k: jax.random.PRNGKey(i) for i, k in enumerate(
+                    ("dropout", "skip", "specaug", "mlm"))},
+                mutable=["batch_stats"],
+            )
+            return loss, new_vars["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    targs = (tvars["params"], tvars.get("batch_stats", {}), opt_state,
+             t_audio, t_alens, t_video, t_vlens, t_text, t_tlens)
+    dt_t = timed(train_step, *targs, iters=5)
+    flops_t = graph_flops(train_step, *targs)
+    rtf_t = tb * tsamples / 16000.0 / dt_t
+    line = {
+        "metric": "avsr_train_step_rtf_batch16",
+        "value": round(rtf_t, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": None,
+    }
+    line.update(perf_fields(flops_t, dt_t, peak_tf, tb))
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -141,16 +141,23 @@ class Speech2Text:
         self.variables = self.model.init(init_rngs, *args, text, tlens)
         if self._ckpt_path:
             self.variables = load_model(self.variables, self._ckpt_path)
-        if str(getattr(self.config, "dtype", "float32")) in ("bfloat16", "bf16"):
-            self.variables = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                self.variables,
-            )
         if self.lm is not None and self.lm_variables is None:
             dummy = jnp.zeros((1, 4), jnp.int32)
             self.lm_variables = self.lm.init(self._rng, dummy, jnp.array([4]))
+        if str(getattr(self.config, "dtype", "float32")) in ("bfloat16", "bf16"):
+            # cast the LM too: in the beam loop its 16-layer KV cache is both
+            # the biggest per-step gather and the widest matmuls — leaving it
+            # f32 doubles that bandwidth and halves MXU rate
+            cast = lambda x: (  # noqa: E731
+                x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x
+            )
+            self.variables = jax.tree_util.tree_map(cast, self.variables)
+            if self.lm_variables is not None:
+                self.lm_variables = jax.tree_util.tree_map(
+                    cast, self.lm_variables
+                )
         if self.quantize_asr_model:
             from tailored_avsr_tpu.utils.quantize import quantize_variables
 
@@ -400,7 +407,7 @@ class Speech2Text:
                 if fold_lm:
                     lm_cache = lm.apply(
                         lmv, n, enc_out.shape[1] + 2,
-                        method=lambda m, *a: m.init_cache(*a),
+                        method=lambda m, *a: m.init_cache(*a, dtype=enc_out.dtype),
                     )
                     att_state = {"dec": dec_cache, "lm": lm_cache}
                     lm_scale = cfg.lm_weight / att_w

@@ -193,6 +193,10 @@ def load_torch_state_dict(
     Returns (new_variables, report) where report lists 'missing' (flax leaves
     with no torch key) and 'unused' (torch keys never consumed).
     """
+    # torch BatchNorm buffers with no flax counterpart: harmless, reported as
+    # 'ignored' instead of 'unused' so strict loads of real checkpoints pass
+    ignored = [k for k in state_dict if k.endswith(".num_batches_tracked")]
+    state_dict = {k: v for k, v in state_dict.items() if k not in set(ignored)}
     params_root = variables.get("params", {})
     used = set()
     missing = []
@@ -212,7 +216,7 @@ def load_torch_state_dict(
                 missing.append("/".join([collection] + path))
         new_vars[collection] = new_tree
     unused = [k for k in state_dict if k not in used]
-    report = {"missing": missing, "unused": unused}
+    report = {"missing": missing, "unused": unused, "ignored": ignored}
     if strict and (missing or unused):
         raise KeyError(f"checkpoint translation mismatch: {report}")
     return new_vars, report
