@@ -22,6 +22,12 @@ import jax.numpy as jnp  # noqa: E402
 
 from tailored_avsr_tpu.utils.torch_compat import _to_flax  # noqa: E402
 
+from tests.torch_twins import (  # noqa: E402
+    TorchBasicBlock,
+    TorchCgMLP,
+    TorchRelPosMHA,
+)
+
 torch.manual_seed(0)
 
 
@@ -45,50 +51,6 @@ def t2f(tensor, leaf="kernel"):
 # ---------------------------------------------------------------------------
 # rel-pos MHA with u/v biases + latest rel-shift
 # ---------------------------------------------------------------------------
-
-
-class TorchRelPosMHA(torch.nn.Module):
-    """espnet RelPositionMultiHeadedAttention semantics (latest rel_pos_type)."""
-
-    def __init__(self, d, h):
-        super().__init__()
-        self.h, self.dk = h, d // h
-        self.linear_q = torch.nn.Linear(d, d)
-        self.linear_k = torch.nn.Linear(d, d)
-        self.linear_v = torch.nn.Linear(d, d)
-        self.linear_out = torch.nn.Linear(d, d)
-        self.linear_pos = torch.nn.Linear(d, d, bias=False)
-        self.pos_bias_u = torch.nn.Parameter(torch.randn(h, d // h) * 0.1)
-        self.pos_bias_v = torch.nn.Parameter(torch.randn(h, d // h) * 0.1)
-
-    @staticmethod
-    def rel_shift(x):
-        b, h, t, _ = x.shape
-        zp = torch.zeros(b, h, t, 1)
-        xp = torch.cat([zp, x], dim=-1).view(b, h, 2 * t, t)
-        return xp[:, :, 1:].reshape(b, h, t, 2 * t - 1)[:, :, :, :t]
-
-    def forward(self, x, pos_emb, mask=None):
-        b, t, d = x.shape
-        q = self.linear_q(x).view(b, t, self.h, self.dk)
-        k = self.linear_k(x).view(b, t, self.h, self.dk).transpose(1, 2)
-        v = self.linear_v(x).view(b, t, self.h, self.dk).transpose(1, 2)
-        p = self.linear_pos(pos_emb).view(
-            pos_emb.shape[0], -1, self.h, self.dk
-        ).transpose(1, 2)
-        q_u = (q + self.pos_bias_u).transpose(1, 2)
-        q_v = (q + self.pos_bias_v).transpose(1, 2)
-        ac = torch.matmul(q_u, k.transpose(-2, -1))
-        bd = self.rel_shift(torch.matmul(q_v, p.transpose(-2, -1)))
-        scores = (ac + bd) / np.sqrt(self.dk)
-        if mask is not None:
-            m = mask[:, None, None, :].eq(0)
-            scores = scores.masked_fill(m, float(np.finfo(np.float32).min))
-            attn = torch.softmax(scores, dim=-1).masked_fill(m, 0.0)
-        else:
-            attn = torch.softmax(scores, dim=-1)
-        out = torch.matmul(attn, v).transpose(1, 2).reshape(b, t, d)
-        return self.linear_out(out)
 
 
 @pytest.mark.parametrize("use_mask", [False, True])
@@ -138,24 +100,6 @@ def test_relpos_mha_matches_torch(use_mask):
 # ---------------------------------------------------------------------------
 
 
-class TorchCgMLP(torch.nn.Module):
-    def __init__(self, d, units, kernel):
-        super().__init__()
-        half = units // 2
-        self.channel_proj1 = torch.nn.Linear(d, units)
-        self.norm = torch.nn.LayerNorm(half)
-        self.conv = torch.nn.Conv1d(
-            half, half, kernel, padding=(kernel - 1) // 2, groups=half
-        )
-        self.channel_proj2 = torch.nn.Linear(half, d)
-
-    def forward(self, x):
-        h = torch.nn.functional.gelu(self.channel_proj1(x))  # exact erf
-        x_r, x_g = h.chunk(2, dim=-1)
-        x_g = self.conv(self.norm(x_g).transpose(1, 2)).transpose(1, 2)
-        return self.channel_proj2(x_r * x_g)
-
-
 def test_cgmlp_matches_torch():
     from tailored_avsr_tpu.ops.cgmlp import ConvolutionalGatingMLP
 
@@ -163,17 +107,17 @@ def test_cgmlp_matches_torch():
     tw = TorchCgMLP(d, units, kernel).eval()
     params = {
         "channel_proj1": {
-            "kernel": t2f(tw.channel_proj1.weight),
-            "bias": t2f(tw.channel_proj1.bias, "bias"),
+            "kernel": t2f(tw.channel_proj1[0].weight),
+            "bias": t2f(tw.channel_proj1[0].bias, "bias"),
         },
         "csgu": {
             "norm": {
-                "scale": t2f(tw.norm.weight, "scale"),
-                "bias": t2f(tw.norm.bias, "bias"),
+                "scale": t2f(tw.csgu.norm.weight, "scale"),
+                "bias": t2f(tw.csgu.norm.bias, "bias"),
             },
             "conv": {
-                "kernel": t2f(tw.conv.weight),
-                "bias": t2f(tw.conv.bias, "bias"),
+                "kernel": t2f(tw.csgu.conv.weight),
+                "bias": t2f(tw.csgu.conv.bias, "bias"),
             },
         },
         "channel_proj2": {
@@ -194,29 +138,6 @@ def test_cgmlp_matches_torch():
 # ---------------------------------------------------------------------------
 # ResNet BasicBlock with BN running stats (eval mode)
 # ---------------------------------------------------------------------------
-
-
-class TorchBasicBlock(torch.nn.Module):
-    def __init__(self, inplanes, planes, stride):
-        super().__init__()
-        self.conv1 = torch.nn.Conv2d(
-            inplanes, planes, 3, stride=stride, padding=1, bias=False
-        )
-        self.bn1 = torch.nn.BatchNorm2d(planes)
-        self.conv2 = torch.nn.Conv2d(planes, planes, 3, padding=1, bias=False)
-        self.bn2 = torch.nn.BatchNorm2d(planes)
-        self.downsample = None
-        if stride != 1 or inplanes != planes:
-            self.downsample = torch.nn.Sequential(
-                torch.nn.Conv2d(inplanes, planes, 1, stride=stride, bias=False),
-                torch.nn.BatchNorm2d(planes),
-            )
-
-    def forward(self, x):
-        residual = x if self.downsample is None else self.downsample(x)
-        out = torch.nn.functional.silu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        return torch.nn.functional.silu(out + residual)
 
 
 def _randomize_bn(bn, rng):
