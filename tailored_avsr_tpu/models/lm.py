@@ -106,44 +106,45 @@ class TransformerLM(nn.Module):
     # at beam dims), dwarfing the ASR decoder itself.
 
     def init_cache(self, n: int, max_len: int, dtype=jnp.float32):
+        """Single stacked K/V buffer (N, layers, 2, H, Lc, dk).
+
+        One tensor instead of ``layers x 2``: the beam loop reorders the cache
+        with a row gather every step, and 32 separate gathers of ~67 MB each
+        defeat XLA's in-place buffer chain — one gather of the stacked buffer
+        is a single fused HLO with N leading so generic ``x[g_src]`` reorder
+        (tree_map in the beam) does the right thing.
+        """
         d, h = self.att_unit, self.head
         dk = d // h
-        return [
-            (
-                jnp.zeros((n, h, max_len, dk), dtype),
-                jnp.zeros((n, h, max_len, dk), dtype),
-            )
-            for _ in range(self.layer)
-        ]
+        return jnp.zeros((n, self.layer, 2, h, max_len, dk), dtype)
 
     def score_step_cached(self, ys: jnp.ndarray, pos: jnp.ndarray, cache):
         """Returns ((N, V) log-probs of the token at ``pos``, updated cache)."""
         n, l = ys.shape
-        lc = cache[0][0].shape[2]
+        lc = cache.shape[4]
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)
         x = self.embed_tok(tok)
         x = self.pos_enc.at_position(x, pos - 1, lc)
         self_mask = (jnp.arange(lc)[None, :] < pos).repeat(n, 0)  # (N, Lc)
-        new_cache = []
-        for layer, (ck, cv) in zip(self.layers, cache):
+        for li, layer in enumerate(self.layers):
             h = layer.norm1(x)
-            k_new, v_new = layer.self_attn.project_kv(h)
-            ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, k_new.astype(ck.dtype), pos - 1, axis=2
+            k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
+            kv = jnp.stack([k_new, v_new], axis=1)[:, None]  # (N, 1, 2, H, 1, dk)
+            cache = jax.lax.dynamic_update_slice(
+                cache, kv.astype(cache.dtype),
+                (0, li, 0, 0, pos - 1, 0),
             )
-            cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, v_new.astype(cv.dtype), pos - 1, axis=2
+            x = x + layer.self_attn.attend_kv(
+                h, cache[:, li, 0], cache[:, li, 1], self_mask
             )
-            x = x + layer.self_attn.attend_kv(h, ck, cv, self_mask)
             h = layer.norm2(x)
             x = x + layer.feed_forward(h, deterministic=True)
-            new_cache.append((ck, cv))
         logits = self.output_layer(self.after_norm(x))
         return (
             jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1),
-            new_cache,
+            cache,
         )
 
     def nll(self, tokens, lengths, *, deterministic: bool = True):
