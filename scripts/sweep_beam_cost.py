@@ -65,20 +65,18 @@ def main():
             lm_weight=0.4 if lm_on else 0.0, early_exit=False,
         )
         s2t = Speech2Text(cfg, lm_config=lm_cfg)
-        if lm_on:
-            lm_dtypes = sorted({
-                str(x.dtype)
-                for x in jax.tree_util.tree_leaves(s2t.lm_variables)
-                if hasattr(x, "dtype") and "float" in str(x.dtype)
-            })
         d = s2t.device_put_batch(dict(data))
         dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
         line = {
             "variant": variant, "ms": round(dt * 1e3, 1),
             "rtf": round(secs / dt, 1),
         }
-        if lm_on:
-            line["lm_param_dtypes"] = lm_dtypes
+        if lm_on:  # params are lazily initialized by the first decode
+            line["lm_param_dtypes"] = sorted({
+                str(x.dtype)
+                for x in jax.tree_util.tree_leaves(s2t.lm_variables)
+                if hasattr(x, "dtype") and "float" in str(x.dtype)
+            })
         print(json.dumps(line), flush=True)
         del s2t
 

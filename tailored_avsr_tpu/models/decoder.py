@@ -404,15 +404,14 @@ class TransformerDecoder(_DecoderBase):
         return [layer.src_attn.project_kv(memory) for layer in self.layers]
 
     def init_cache(self, n: int, max_len: int, dtype=jnp.float32):
+        """Single stacked K/V buffer (N, layers, 2, H, Lc, dk): the beam
+        loop's per-step hypothesis reorder becomes one fused row gather
+        instead of 2*layers separate ones (see TransformerLM.init_cache)."""
         d = self.encoder_output_size
         h, dk = self.attention_heads, d // self.attention_heads
-        return [
-            (
-                jnp.zeros((n, h, max_len, dk), dtype),
-                jnp.zeros((n, h, max_len, dk), dtype),
-            )
-            for _ in range(self.num_blocks)  # callable outside apply
-        ]
+        return jnp.zeros(  # callable outside apply
+            (n, self.num_blocks, 2, h, max_len, dk), dtype
+        )
 
     # Length-segmented cache: the beam loop's per-step cost on a plain cache
     # is proportional to max_len (gather on reorder + attention read), but
@@ -522,32 +521,30 @@ class TransformerDecoder(_DecoderBase):
         """Returns ((N, V) log-probs of token at ``pos``, updated cache)."""
         assert self.layer_variant == "transformer"
         n, l = ys.shape
-        lc = cache[0][0].shape[2]
+        lc = cache.shape[4]
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)
         x = self.embed_tok(tok)  # (N, 1, D)
         x = self.pos_enc.at_position(x, pos - 1, lc)
         self_mask = (jnp.arange(lc)[None, :] < pos).repeat(n, 0)  # (N, Lc)
-        new_cache = []
-        for layer, (mk, mv), (ck, cv) in zip(self.layers, mem_kv, cache):
+        for li, (layer, (mk, mv)) in enumerate(zip(self.layers, mem_kv)):
             h = layer.norm1(x)
             k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
-            ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, k_new.astype(ck.dtype), pos - 1, axis=2
+            kv = jnp.stack([k_new, v_new], axis=1)[:, None]  # (N,1,2,H,1,dk)
+            cache = jax.lax.dynamic_update_slice(
+                cache, kv.astype(cache.dtype), (0, li, 0, 0, pos - 1, 0)
             )
-            cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, v_new.astype(cv.dtype), pos - 1, axis=2
+            x = x + layer.self_attn.attend_kv(
+                h, cache[:, li, 0], cache[:, li, 1], self_mask
             )
-            x = x + layer.self_attn.attend_kv(h, ck, cv, self_mask)
             h = layer.norm2(x)
             x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)
             h = layer.norm3(x)
             x = x + layer.feed_forward(h, deterministic=True)
-            new_cache.append((ck, cv))
         x = self.after_norm(x)
         logits = self.output_layer(x) if self.use_output_layer else x
-        return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), new_cache
+        return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), cache
 
 
 class MLMDecoder(_DecoderBase):
