@@ -41,6 +41,31 @@ from tailored_avsr_tpu.decode.ctc_prefix import (
 
 NEG_INF = -1.0e10
 
+# rows of a beam-reordered pytree leaf smaller than this keep the plain
+# x[g_src] gather; larger rows take the one-hot matmul path (see
+# reorder_beam_rows)
+_REORDER_MATMUL_MIN_ROW_BYTES = 64 * 1024
+
+
+def reorder_beam_rows(x: jnp.ndarray, src_bk: jnp.ndarray) -> jnp.ndarray:
+    """Permute beam rows of a KV cache: ``out[b, i] = x[b*K + src_bk[b, i]]``.
+
+    Large-row gathers are pathological on TPU: XLA lowers ``x[g_src]`` over a
+    multi-GB stacked cache into a SERIAL per-index dynamic-slice loop plus a
+    full defensive copy — profiled at ~27 ms/step for the 2.1 GB LM cache at
+    N=320 (scripts/profile_beam.py, v5e-1), ~6x the HBM roofline. A
+    per-utterance one-hot batched matmul streams the same permutation through
+    the MXU at memory bandwidth, and is EXACT (coefficients are 0/1, one
+    nonzero per output row, so no rounding in any dtype).
+    """
+    b, k = src_bk.shape
+    if x.size // (b * k) * x.dtype.itemsize < _REORDER_MATMUL_MIN_ROW_BYTES:
+        g_src = (jnp.arange(b)[:, None] * k + src_bk).reshape(b * k)
+        return x[g_src]
+    xr = x.reshape(b, k, -1)
+    onehot = jax.nn.one_hot(src_bk, k, dtype=x.dtype)  # (B, K_new, K_old)
+    return jnp.einsum("bij,bjx->bix", onehot, xr).reshape(x.shape)
+
 
 @dataclasses.dataclass(frozen=True)
 class BeamSearchConfig:
@@ -228,7 +253,9 @@ def beam_search(
             if att_gather_fn is not None:
                 att_st = att_gather_fn(att_st, g_src, jnp.asarray(pos))
             else:
-                att_st = jax.tree_util.tree_map(lambda x: x[g_src], att_st)
+                att_st = jax.tree_util.tree_map(
+                    lambda x: reorder_beam_rows(x, src_hyp), att_st
+                )
         return (i + 1, new_ys, top_alive, ctc_state, att_st, fin_tokens,
                 fin_scores, fin_lengths)
 

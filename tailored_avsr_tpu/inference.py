@@ -441,14 +441,17 @@ class Speech2Text:
                 if not seg_cache:
                     att_gather_fn = None
                 elif fold_lm:
+                    from tailored_avsr_tpu.decode.beam_search import (
+                        reorder_beam_rows,
+                    )
+
                     def att_gather_fn(state, g_src, pos):
+                        src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
                         return {
                             "dec": TransformerDecoder.gather_cache_seg(
                                 state["dec"], g_src, pos
                             ),
-                            "lm": jax.tree_util.tree_map(
-                                lambda x: x[g_src], state["lm"]
-                            ),
+                            "lm": reorder_beam_rows(state["lm"], src_bk),
                         }
                 else:
                     att_gather_fn = TransformerDecoder.gather_cache_seg
