@@ -41,30 +41,46 @@ from tailored_avsr_tpu.decode.ctc_prefix import (
 
 NEG_INF = -1.0e10
 
-# rows of a beam-reordered pytree leaf smaller than this keep the plain
-# x[g_src] gather; larger rows take the one-hot matmul path (see
-# reorder_beam_rows)
-_REORDER_MATMUL_MIN_ROW_BYTES = 64 * 1024
-
-
 def reorder_beam_rows(x: jnp.ndarray, src_bk: jnp.ndarray) -> jnp.ndarray:
     """Permute beam rows of a KV cache: ``out[b, i] = x[b*K + src_bk[b, i]]``.
 
-    Large-row gathers are pathological on TPU: XLA lowers ``x[g_src]`` over a
-    multi-GB stacked cache into a SERIAL per-index dynamic-slice loop plus a
-    full defensive copy — profiled at ~27 ms/step for the 2.1 GB LM cache at
-    N=320 (scripts/profile_beam.py, v5e-1), ~6x the HBM roofline. A
-    per-utterance one-hot batched matmul streams the same permutation through
-    the MXU at memory bandwidth, and is EXACT (coefficients are 0/1, one
-    nonzero per output row, so no rounding in any dtype).
+    Formulation chosen by measurement (scripts/bench_reorder.py, v5e-1,
+    32-leaf LM-cache pytree, N=320, 33 MB leaves, inside a fori_loop):
+    flat ``x[g_src]`` per leaf 8.2 ms/step; take_along_axis with an explicit
+    batch dim 34.7 ms; per-utterance one-hot matmul 17.5 ms (the MXU pads
+    K=M=beam up to its 128 tile, amplifying traffic); masked VPU sum 146 ms.
+    The flat gather is only pathological when the leaf is one huge stacked
+    buffer (multi-GB rows serialize into a per-index dynamic-slice loop —
+    scripts/profile_beam.py); keep caches as per-layer tensors and gather.
     """
     b, k = src_bk.shape
-    if x.size // (b * k) * x.dtype.itemsize < _REORDER_MATMUL_MIN_ROW_BYTES:
-        g_src = (jnp.arange(b)[:, None] * k + src_bk).reshape(b * k)
-        return x[g_src]
-    xr = x.reshape(b, k, -1)
-    onehot = jax.nn.one_hot(src_bk, k, dtype=x.dtype)  # (B, K_new, K_old)
-    return jnp.einsum("bij,bjx->bix", onehot, xr).reshape(x.shape)
+    g_src = (jnp.arange(b)[:, None] * k + src_bk).reshape(b * k)
+    return x[g_src]
+
+
+def insert_permute_rows(
+    x: jnp.ndarray,  # (N, H, Lc, dk) cache leaf
+    new_col: jnp.ndarray,  # (N, H, 1, dk) this step's K or V column
+    src_bk: jnp.ndarray,  # (B, K) beam-source indices
+    pos: jnp.ndarray,  # scalar: column pos-1 receives the new column
+) -> jnp.ndarray:
+    """Beam-reorder a KV-cache leaf AND insert the step's new column in one
+    fused pass: ``out[b*K+i] = x[b*K+src[b,i]]`` with column ``pos-1``
+    replaced by ``new_col[b*K+src[b,i]]``.
+
+    This replaces dynamic-update-slice-then-gather: a DUS inside the scorer
+    forces XLA to materialize a full cache copy per leaf per step in the beam
+    while-loop (the gather downstream prevents the in-place update), measured
+    at ~0.5 ms per 33 MB leaf vs ~0.08 ms for this single gather+select pass
+    (scripts/bench_lm_step.py, v5e-1). The select is elementwise, so XLA
+    fuses it into the gather's output loop — one read, one write, at HBM
+    bandwidth when the surrounding loop lets the output land in a fresh
+    buffer (see the unrolled beam loop in ``beam_search``).
+    """
+    b, k = src_bk.shape
+    g_src = (jnp.arange(b)[:, None] * k + src_bk).reshape(b * k)
+    colmask = (jnp.arange(x.shape[2]) == pos - 1)[None, None, :, None]
+    return jnp.where(colmask, new_col[g_src].astype(x.dtype), x[g_src])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +94,15 @@ class BeamSearchConfig:
     pre_beam_ratio: float = 1.5
     nbest: int = 1
     early_exit: bool = True  # exact upper-bound loop termination (see below)
+    # beam steps per while-loop iteration (1 or 2). An XLA while-state leaf is
+    # a FIXED buffer and a gather cannot write into its own input buffer, so a
+    # 1-step body ends every iteration with a full copy-back of each KV-cache
+    # leaf; with 2 steps per body the second reorder's input is already a
+    # temporary and its output lands in the state buffer directly — measured
+    # 8.2 -> 2.5 ms/step on the 1.07 GB LM cache (scripts/bench_lm_step.py).
+    # Result-exact: the at-most-one extra step past the stop condition cannot
+    # change the returned n-best (see the note above ``cond`` in beam_search).
+    unroll: int = 2
 
 
 class BeamSearchResult(NamedTuple):
@@ -267,6 +292,18 @@ def beam_search(
         # most max(0, penalty) per remaining step. Once even the best alive
         # hypothesis' upper bound cannot displace the nbest-th finished score
         # for ANY utterance, running further steps cannot change the result.
+        #
+        # With unroll=2 the body may run ONE step past the point where cond
+        # turns false; that step is result-inert in both stopping cases:
+        # - past lmax: every utterance's force-eos gate fired by maxlen-1, so
+        #   each utterance already holds K genuinely-finished hypotheses with
+        #   ordinary-magnitude scores, while post-force alive scores are
+        #   clamped to exactly NEG_INF — any further candidate scores at most
+        #   NEG_INF + penalty and cannot displace the K real entries;
+        # - early-exit: the upper-bound argument above covers one more step
+        #   (candidates score <= bound <= nbest-th finished), and exact ties
+        #   keep the OLD entry (finished buffer comes first in the top-k
+        #   merge, lax.top_k prefers the lower index).
         i, _, scores, _, _, _, fin_scores, _ = carry
         if not config.early_exit:
             return i < lmax
@@ -278,7 +315,14 @@ def beam_search(
 
     carry = (jnp.asarray(0, jnp.int32), ys, scores, ctc_state, att_state,
              fin_tokens, fin_scores, fin_lengths)
-    carry = jax.lax.while_loop(cond, step, carry)
+    unroll = max(1, min(int(config.unroll), 2))  # >2 would overrun ys (L+2)
+
+    def body(carry):
+        for _ in range(unroll):
+            carry = step(carry)
+        return carry
+
+    carry = jax.lax.while_loop(cond, body, carry)
     _, _, _, _, _, fin_tokens, fin_scores, fin_lengths = carry
     best_scores, best_idx = jax.lax.top_k(fin_scores, nbest)
     batch_idx = jnp.arange(b)[:, None]

@@ -69,6 +69,7 @@ class Speech2Text:
             minlenratio=float(inf.get("minlenratio", 0.0)),
             nbest=int(inf.get("nbest", 1)),
             early_exit=bool(inf.get("early_exit", True)),
+            unroll=int(inf.get("unroll", 2)),
         )
         self.maskctc_n_iterations = int(inf.get("maskctc_n_iterations", 10))
         self.maskctc_threshold = float(inf.get("maskctc_threshold_probability", 0.999))
@@ -404,7 +405,82 @@ class Speech2Text:
                 step_method = (
                     "score_step_cached_seg" if seg_cache else "score_step_cached"
                 )
-                if fold_lm:
+                from tailored_avsr_tpu.decode.beam_search import (
+                    insert_permute_rows,
+                    reorder_beam_rows,
+                )
+                from tailored_avsr_tpu.models.decoder import TransformerDecoder
+
+                def cast_kv(new_kv):
+                    # delta dtype must match its state slot across while-loop
+                    # iterations (the scorer may compute in a wider dtype)
+                    return [
+                        tuple(a.astype(enc_out.dtype) for a in p)
+                        for p in new_kv
+                    ]
+
+                def ins(cache, new_kv, src_bk, pos):
+                    # fused reorder + column insert, one write pass per leaf
+                    return [
+                        (insert_permute_rows(ck, kn, src_bk, pos),
+                         insert_permute_rows(cv, vn, src_bk, pos))
+                        for (ck, cv), (kn, vn) in zip(cache, new_kv)
+                    ]
+
+                if fold_lm and not seg_cache:
+                    # append protocol: scorers never write their caches; the
+                    # step's K/V columns ride in the *_new state slots and the
+                    # beam's reorder gather folds them in (insert_permute_rows)
+                    lm_cache = lm.apply(
+                        lmv, n, enc_out.shape[1] + 2,
+                        method=lambda m, *a: m.init_cache(*a, dtype=enc_out.dtype),
+                    )
+                    att_state = {
+                        "dec": dec_cache,
+                        "dec_new": model.decoder.init_cache(
+                            n, 1, dtype=enc_out.dtype
+                        ),
+                        "lm": lm_cache,
+                        "lm_new": lm.apply(
+                            lmv, n, 1,
+                            method=lambda m, *a: m.init_cache(
+                                *a, dtype=enc_out.dtype
+                            ),
+                        ),
+                    }
+                    lm_scale = cfg.lm_weight / att_w
+
+                    def att_fn(ys, pos, state):
+                        dec_lp, dec_new = model.apply(
+                            variables, mem_kv, mm_rep, ys, pos, state["dec"],
+                            method=lambda m, *a: m.decoder.score_step_append(*a),
+                        )
+                        lm_lp, lm_new = lm.apply(
+                            lmv, ys, pos, state["lm"],
+                            method="score_step_append",
+                        )
+                        if ngram is not None and ngram_w > 0:
+                            lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
+                                ngram.score_step(ys, pos)
+                            )
+                        return dec_lp + lm_scale * lm_lp, {
+                            "dec": state["dec"], "dec_new": cast_kv(dec_new),
+                            "lm": state["lm"], "lm_new": cast_kv(lm_new),
+                        }
+
+                    def att_gather_fn(state, g_src, pos):
+                        src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
+                        return {
+                            "dec": ins(state["dec"], state["dec_new"],
+                                       src_bk, pos),
+                            "dec_new": state["dec_new"],
+                            "lm": ins(state["lm"], state["lm_new"],
+                                      src_bk, pos),
+                            "lm_new": state["lm_new"],
+                        }
+                elif fold_lm:
+                    # segmented decoder cache (opt-in cache_segments > 1)
+                    # keeps the in-scorer-update protocol
                     lm_cache = lm.apply(
                         lmv, n, enc_out.shape[1] + 2,
                         method=lambda m, *a: m.init_cache(*a, dtype=enc_out.dtype),
@@ -428,6 +504,43 @@ class Speech2Text:
                         return dec_lp + lm_scale * lm_lp, {
                             "dec": dec_c, "lm": lm_c,
                         }
+
+                    def att_gather_fn(state, g_src, pos):
+                        src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
+                        return {
+                            "dec": TransformerDecoder.gather_cache_seg(
+                                state["dec"], g_src, pos
+                            ),
+                            "lm": jax.tree_util.tree_map(
+                                lambda x: reorder_beam_rows(x, src_bk),
+                                state["lm"],
+                            ),
+                        }
+                elif not seg_cache:
+                    # append protocol, decoder only
+                    att_state = {
+                        "dec": dec_cache,
+                        "dec_new": model.decoder.init_cache(
+                            n, 1, dtype=enc_out.dtype
+                        ),
+                    }
+
+                    def att_fn(ys, pos, state):
+                        lp, dec_new = model.apply(
+                            variables, mem_kv, mm_rep, ys, pos, state["dec"],
+                            method=lambda m, *a: m.decoder.score_step_append(*a),
+                        )
+                        return lp, {
+                            "dec": state["dec"], "dec_new": cast_kv(dec_new)
+                        }
+
+                    def att_gather_fn(state, g_src, pos):
+                        src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
+                        return {
+                            "dec": ins(state["dec"], state["dec_new"],
+                                       src_bk, pos),
+                            "dec_new": state["dec_new"],
+                        }
                 else:
                     att_state = dec_cache
 
@@ -436,24 +549,7 @@ class Speech2Text:
                             variables, mem_kv, mm_rep, ys, pos, cache,
                             method=lambda m, *a: getattr(m.decoder, step_method)(*a),
                         )
-                from tailored_avsr_tpu.models.decoder import TransformerDecoder
 
-                if not seg_cache:
-                    att_gather_fn = None
-                elif fold_lm:
-                    from tailored_avsr_tpu.decode.beam_search import (
-                        reorder_beam_rows,
-                    )
-
-                    def att_gather_fn(state, g_src, pos):
-                        src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
-                        return {
-                            "dec": TransformerDecoder.gather_cache_seg(
-                                state["dec"], g_src, pos
-                            ),
-                            "lm": reorder_beam_rows(state["lm"], src_bk),
-                        }
-                else:
                     att_gather_fn = TransformerDecoder.gather_cache_seg
             else:
                 att_state = None

@@ -404,14 +404,19 @@ class TransformerDecoder(_DecoderBase):
         return [layer.src_attn.project_kv(memory) for layer in self.layers]
 
     def init_cache(self, n: int, max_len: int, dtype=jnp.float32):
-        """Single stacked K/V buffer (N, layers, 2, H, Lc, dk): the beam
-        loop's per-step hypothesis reorder becomes one fused row gather
-        instead of 2*layers separate ones (see TransformerLM.init_cache)."""
+        """Per-layer (K, V) tensors, each (N, H, Lc, dk), N leading — kept
+        separate and contiguous; a stacked buffer made the per-layer
+        update/attend strided and measured 35% slower. The beam reorder is
+        gather-free either way (decode.beam_search.reorder_beam_rows)."""
         d = self.encoder_output_size
         h, dk = self.attention_heads, d // self.attention_heads
-        return jnp.zeros(  # callable outside apply
-            (n, self.num_blocks, 2, h, max_len, dk), dtype
-        )
+        return [
+            (
+                jnp.zeros((n, h, max_len, dk), dtype),
+                jnp.zeros((n, h, max_len, dk), dtype),
+            )
+            for _ in range(self.num_blocks)  # callable outside apply
+        ]
 
     # Length-segmented cache: the beam loop's per-step cost on a plain cache
     # is proportional to max_len (gather on reorder + attention read), but
@@ -521,30 +526,74 @@ class TransformerDecoder(_DecoderBase):
         """Returns ((N, V) log-probs of token at ``pos``, updated cache)."""
         assert self.layer_variant == "transformer"
         n, l = ys.shape
-        lc = cache.shape[4]
+        lc = cache[0][0].shape[2]
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)
         x = self.embed_tok(tok)  # (N, 1, D)
         x = self.pos_enc.at_position(x, pos - 1, lc)
         self_mask = (jnp.arange(lc)[None, :] < pos).repeat(n, 0)  # (N, Lc)
-        for li, (layer, (mk, mv)) in enumerate(zip(self.layers, mem_kv)):
+        new_cache = []
+        for layer, (mk, mv), (ck, cv) in zip(self.layers, mem_kv, cache):
             h = layer.norm1(x)
             k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
-            kv = jnp.stack([k_new, v_new], axis=1)[:, None]  # (N,1,2,H,1,dk)
-            cache = jax.lax.dynamic_update_slice(
-                cache, kv.astype(cache.dtype), (0, li, 0, 0, pos - 1, 0)
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_new.astype(ck.dtype), pos - 1, axis=2
             )
-            x = x + layer.self_attn.attend_kv(
-                h, cache[:, li, 0], cache[:, li, 1], self_mask
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_new.astype(cv.dtype), pos - 1, axis=2
+            )
+            x = x + layer.self_attn.attend_kv(h, ck, cv, self_mask)
+            h = layer.norm2(x)
+            x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)
+            h = layer.norm3(x)
+            x = x + layer.feed_forward(h, deterministic=True)
+            new_cache.append((ck, cv))
+        x = self.after_norm(x)
+        logits = self.output_layer(x) if self.use_output_layer else x
+        return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), new_cache
+
+    def score_step_append(
+        self,
+        mem_kv,  # list of per-layer (K, V) from precompute_memory
+        memory_mask: Optional[jnp.ndarray],
+        ys: jnp.ndarray,  # (N, L) fixed-size token buffer
+        pos: jnp.ndarray,  # scalar: position being generated
+        cache,  # list of per-layer (K, V) self-attention caches
+    ):
+        """Cache-READ-ONLY beam-step scorer: ((N, V) log-probs, new_kv).
+
+        Twin of ``score_step_cached`` that RETURNS the step's self-attention
+        K/V column (per-layer ((N,H,1,dk), (N,H,1,dk))) instead of writing it
+        (``attend_kv_append``); the beam loop folds the write into its
+        reorder gather (``decode.beam_search.insert_permute_rows``), removing
+        the per-layer full-cache materialization a dynamic-update-slice costs
+        inside the decode while-loop (see TransformerLM.score_step_append).
+        """
+        assert self.layer_variant == "transformer"
+        n, l = ys.shape
+        lc = cache[0][0].shape[2]
+        tok = jnp.take_along_axis(
+            ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
+        )  # (N, 1)
+        x = self.embed_tok(tok)  # (N, 1, D)
+        x = self.pos_enc.at_position(x, pos - 1, lc)
+        cache_mask = (jnp.arange(lc)[None, :] < pos - 1).repeat(n, 0)  # (N, Lc)
+        new_kv = []
+        for layer, (mk, mv), (ck, cv) in zip(self.layers, mem_kv, cache):
+            h = layer.norm1(x)
+            k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
+            x = x + layer.self_attn.attend_kv_append(
+                h, ck, cv, k_new, v_new, cache_mask
             )
             h = layer.norm2(x)
             x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)
             h = layer.norm3(x)
             x = x + layer.feed_forward(h, deterministic=True)
+            new_kv.append((k_new, v_new))
         x = self.after_norm(x)
         logits = self.output_layer(x) if self.use_output_layer else x
-        return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), cache
+        return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), new_kv
 
 
 class MLMDecoder(_DecoderBase):

@@ -106,45 +106,89 @@ class TransformerLM(nn.Module):
     # at beam dims), dwarfing the ASR decoder itself.
 
     def init_cache(self, n: int, max_len: int, dtype=jnp.float32):
-        """Single stacked K/V buffer (N, layers, 2, H, Lc, dk).
+        """Per-layer (K, V) tensors, each (N, H, Lc, dk), N leading.
 
-        One tensor instead of ``layers x 2``: the beam loop reorders the cache
-        with a row gather every step, and 32 separate gathers of ~67 MB each
-        defeat XLA's in-place buffer chain — one gather of the stacked buffer
-        is a single fused HLO with N leading so generic ``x[g_src]`` reorder
-        (tree_map in the beam) does the right thing.
+        Kept as separate contiguous tensors (NOT one stacked buffer): the
+        per-step update/attend touch one layer at a time, and a stacked
+        layout makes those reads/writes strided — measured 35% slower on the
+        decoder cache. The beam loop's per-step reorder is a plain flat
+        gather per leaf (``decode.beam_search.reorder_beam_rows``), which at
+        this leaf size runs at HBM bandwidth; only a single multi-GB stacked
+        buffer makes the gather lowering pathological.
         """
         d, h = self.att_unit, self.head
         dk = d // h
-        return jnp.zeros((n, self.layer, 2, h, max_len, dk), dtype)
+        return [
+            (
+                jnp.zeros((n, h, max_len, dk), dtype),
+                jnp.zeros((n, h, max_len, dk), dtype),
+            )
+            for _ in range(self.layer)
+        ]
 
     def score_step_cached(self, ys: jnp.ndarray, pos: jnp.ndarray, cache):
         """Returns ((N, V) log-probs of the token at ``pos``, updated cache)."""
         n, l = ys.shape
-        lc = cache.shape[4]
+        lc = cache[0][0].shape[2]
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)
         x = self.embed_tok(tok)
         x = self.pos_enc.at_position(x, pos - 1, lc)
         self_mask = (jnp.arange(lc)[None, :] < pos).repeat(n, 0)  # (N, Lc)
-        for li, layer in enumerate(self.layers):
+        new_cache = []
+        for layer, (ck, cv) in zip(self.layers, cache):
             h = layer.norm1(x)
-            k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
-            kv = jnp.stack([k_new, v_new], axis=1)[:, None]  # (N, 1, 2, H, 1, dk)
-            cache = jax.lax.dynamic_update_slice(
-                cache, kv.astype(cache.dtype),
-                (0, li, 0, 0, pos - 1, 0),
+            k_new, v_new = layer.self_attn.project_kv(h)
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_new.astype(ck.dtype), pos - 1, axis=2
             )
-            x = x + layer.self_attn.attend_kv(
-                h, cache[:, li, 0], cache[:, li, 1], self_mask
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_new.astype(cv.dtype), pos - 1, axis=2
             )
+            x = x + layer.self_attn.attend_kv(h, ck, cv, self_mask)
             h = layer.norm2(x)
             x = x + layer.feed_forward(h, deterministic=True)
+            new_cache.append((ck, cv))
         logits = self.output_layer(self.after_norm(x))
         return (
             jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1),
-            cache,
+            new_cache,
+        )
+
+    def score_step_append(self, ys: jnp.ndarray, pos: jnp.ndarray, cache):
+        """Cache-READ-ONLY beam-step scorer: ((N, V) log-probs, new_kv).
+
+        Like ``score_step_cached`` but the step's K/V column is RETURNED
+        (``new_kv``: per-layer ((N,H,1,dk), (N,H,1,dk))) instead of written
+        into the cache; attention runs over the cached columns (< pos-1) plus
+        the appended column (``attend_kv_append``). The beam loop folds the
+        write into its reorder gather (``insert_permute_rows``) — removing
+        the per-layer dynamic-update-slice that costs a full cache
+        materialization per step inside the while loop.
+        """
+        n, l = ys.shape
+        lc = cache[0][0].shape[2]
+        tok = jnp.take_along_axis(
+            ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
+        )  # (N, 1)
+        x = self.embed_tok(tok)
+        x = self.pos_enc.at_position(x, pos - 1, lc)
+        cache_mask = (jnp.arange(lc)[None, :] < pos - 1).repeat(n, 0)  # (N, Lc)
+        new_kv = []
+        for layer, (ck, cv) in zip(self.layers, cache):
+            h = layer.norm1(x)
+            k_new, v_new = layer.self_attn.project_kv(h)
+            x = x + layer.self_attn.attend_kv_append(
+                h, ck, cv, k_new, v_new, cache_mask
+            )
+            h = layer.norm2(x)
+            x = x + layer.feed_forward(h, deterministic=True)
+            new_kv.append((k_new, v_new))
+        logits = self.output_layer(self.after_norm(x))
+        return (
+            jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1),
+            new_kv,
         )
 
     def nll(self, tokens, lengths, *, deterministic: bool = True):

@@ -125,6 +125,42 @@ class MultiHeadedAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], 1, d)
         return self.linear_out(out)
 
+    def attend_kv_append(
+        self,
+        query: jnp.ndarray,  # (B, 1, D) single-step query input
+        k: jnp.ndarray,  # (B, H, T, dk) cached keys (current step NOT written)
+        v: jnp.ndarray,  # (B, H, T, dk) cached values
+        k_new: jnp.ndarray,  # (B, H, 1, dk) this step's key column
+        v_new: jnp.ndarray,  # (B, H, 1, dk) this step's value column
+        mask: Optional[jnp.ndarray] = None,  # (B, T) cache-column validity
+    ) -> jnp.ndarray:
+        """Single-query attention over cached K/V plus one logically-appended
+        column. The decode beam loop uses this so the cache is never written
+        inside the scorer: per step the cache is READ once here, and the new
+        column is folded into the beam-reorder gather afterwards
+        (``decode.beam_search.insert_permute_rows``) — one fused write pass.
+        Writing the column first (dynamic-update-slice) costs a full extra
+        cache materialization per layer per step inside the while loop, the
+        dominant term of the profiled beam decode (scripts/bench_lm_step.py).
+        """
+        d = query.shape[-1]
+        dk = d // self.num_heads
+        q = self._heads(self.linear_q(query))  # (B, H, 1, dk)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
+        s_cache = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale  # (B, H, 1, T)
+        s_new = jnp.einsum("bhqd,bhkd->bhqk", q, k_new) * scale  # (B, H, 1, 1)
+        scores = jnp.concatenate([s_cache, s_new], axis=-1)
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask, jnp.ones((mask.shape[0], 1), mask.dtype)], axis=-1
+            )
+        attn = _masked_softmax(scores, mask).astype(v.dtype)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", attn[..., :-1], v
+        ) + attn[..., -1:] * v_new
+        out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], 1, d)
+        return self.linear_out(out)
+
     def attend_kv_segmented(
         self,
         query: jnp.ndarray,  # (B, 1, D) single-step query input
