@@ -47,6 +47,9 @@ def main():
     parser.add_argument("--quick", action="store_true", help="batch 8 only")
     parser.add_argument("--frames", type=int, default=100)
     parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--beams", type=int, nargs="+", default=[10, 30])
+    parser.add_argument("--batches", type=int, nargs="+",
+                        default=[8, 32, 64, 128])
     args = parser.parse_args()
 
     import jax
@@ -59,8 +62,8 @@ def main():
     audio_seconds_per_utt = frames * 640 / 16000.0
 
     results = []
-    batches = [8] if args.quick else [8, 32, 64, 128]
-    for beam in (10, 30):
+    batches = [8] if args.quick else args.batches
+    for beam in args.beams:
         for mode, inf_over in (
             ("full", {"early_exit": False, "minlenratio": 0.0}),
             ("realistic", {"early_exit": True, "minlenratio": 0.6}),
@@ -113,7 +116,7 @@ def main():
 
     print("\n| beam | mode | " + " | ".join(f"b={b}" for b in batches) + " |")
     print("|---|---|" + "---|" * len(batches))
-    for beam in (10, 30):
+    for beam in args.beams:
         for mode in ("full", "realistic"):
             vals = [
                 r["value"]

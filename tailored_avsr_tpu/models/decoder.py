@@ -582,9 +582,9 @@ class TransformerDecoder(_DecoderBase):
         new_kv = []
         for layer, (mk, mv), (ck, cv) in zip(self.layers, mem_kv, cache):
             h = layer.norm1(x)
-            k_new, v_new = layer.self_attn.project_kv(h)  # (N, H, 1, dk)
+            q, k_new, v_new = layer.self_attn.project_qkv(h)  # (N, H, 1, dk)
             x = x + layer.self_attn.attend_kv_append(
-                h, ck, cv, k_new, v_new, cache_mask
+                h, ck, cv, k_new, v_new, cache_mask, q_heads=q
             )
             h = layer.norm2(x)
             x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)

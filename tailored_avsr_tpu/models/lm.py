@@ -178,9 +178,9 @@ class TransformerLM(nn.Module):
         new_kv = []
         for layer, (ck, cv) in zip(self.layers, cache):
             h = layer.norm1(x)
-            k_new, v_new = layer.self_attn.project_kv(h)
+            q, k_new, v_new = layer.self_attn.project_qkv(h)
             x = x + layer.self_attn.attend_kv_append(
-                h, ck, cv, k_new, v_new, cache_mask
+                h, ck, cv, k_new, v_new, cache_mask, q_heads=q
             )
             h = layer.norm2(x)
             x = x + layer.feed_forward(h, deterministic=True)

@@ -125,6 +125,25 @@ class MultiHeadedAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], 1, d)
         return self.linear_out(out)
 
+    def project_qkv(self, x: jnp.ndarray):
+        """Single fused (D -> 3D) projection: heads-form (q, k, v).
+
+        The decode beam loop is kernel-dispatch-bound at beam dims (~0.1 ms
+        per fusion on v5e vs ~0.02 ms of actual weight traffic), so the three
+        separate q/k/v matmuls are folded into one; the weight concatenation
+        is loop-invariant and hoisted out of the decode while-loop by XLA.
+        Same reductions per output element as linear_q/k/v.
+        """
+        pq, pk, pv = (
+            m.variables["params"]
+            for m in (self.linear_q, self.linear_k, self.linear_v)
+        )
+        w = jnp.concatenate([pq["kernel"], pk["kernel"], pv["kernel"]], axis=1)
+        b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
+        y = x @ w + b
+        q, k, v = jnp.split(y, 3, axis=-1)
+        return self._heads(q), self._heads(k), self._heads(v)
+
     def attend_kv_append(
         self,
         query: jnp.ndarray,  # (B, 1, D) single-step query input
@@ -133,6 +152,7 @@ class MultiHeadedAttention(nn.Module):
         k_new: jnp.ndarray,  # (B, H, 1, dk) this step's key column
         v_new: jnp.ndarray,  # (B, H, 1, dk) this step's value column
         mask: Optional[jnp.ndarray] = None,  # (B, T) cache-column validity
+        q_heads: Optional[jnp.ndarray] = None,  # precomputed (B, H, 1, dk)
     ) -> jnp.ndarray:
         """Single-query attention over cached K/V plus one logically-appended
         column. The decode beam loop uses this so the cache is never written
@@ -145,7 +165,11 @@ class MultiHeadedAttention(nn.Module):
         """
         d = query.shape[-1]
         dk = d // self.num_heads
-        q = self._heads(self.linear_q(query))  # (B, H, 1, dk)
+        q = (
+            q_heads
+            if q_heads is not None
+            else self._heads(self.linear_q(query))
+        )  # (B, H, 1, dk)
         scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
         s_cache = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale  # (B, H, 1, T)
         s_new = jnp.einsum("bhqd,bhkd->bhqk", q, k_new) * scale  # (B, H, 1, 1)

@@ -82,6 +82,101 @@ def test_cached_beam_search_matches_recompute():
     )
 
 
+def test_decoder_append_step_matches_cached():
+    """score_step_append + insert_permute_rows == score_step_cached + eager
+    reorder, across steps with beam reordering (the TPU decode fast path:
+    the scorer never writes the cache; the new K/V column is folded into the
+    beam-reorder gather)."""
+    from tailored_avsr_tpu.decode.beam_search import (
+        insert_permute_rows,
+        reorder_beam_rows,
+    )
+
+    key = jax.random.PRNGKey(3)
+    b, k = 2, 3
+    n = b * k
+    dec = TransformerDecoder(
+        vocab_size=V, encoder_output_size=D, attention_heads=4,
+        linear_units=48, num_blocks=2, dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+    )
+    mem = jax.random.normal(key, (n, 7, D))
+    mem_mask = jnp.ones((n, 7), bool)
+    L = 6
+    ys = jnp.zeros((n, L), jnp.int32).at[:, 0].set(V - 1)
+    params = dec.init(key, mem, mem_mask, ys, jnp.full((n,), 1))
+    mem_kv = dec.apply(params, mem, method="precompute_memory")
+    c_ref = dec.init_cache(n, L)
+    c_app = dec.init_cache(n, L)
+    rng = np.random.RandomState(7)
+    for pos in range(1, L):
+        lp_r, c_ref = dec.apply(params, mem_kv, mem_mask, ys, jnp.asarray(pos),
+                                c_ref, method="score_step_cached")
+        lp_a, new_kv = dec.apply(params, mem_kv, mem_mask, ys,
+                                 jnp.asarray(pos), c_app,
+                                 method="score_step_append")
+        np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_r),
+                                   rtol=2e-4, atol=2e-5)
+        src = jnp.asarray(rng.randint(0, k, (b, k)))
+        g = (jnp.arange(b)[:, None] * k + src).reshape(n)
+        ys = ys.at[:, pos].set(
+            jnp.asarray(rng.randint(1, V - 1, size=(n,)))
+        )[g]
+        c_ref = jax.tree_util.tree_map(lambda x: reorder_beam_rows(x, src),
+                                       c_ref)
+        c_app = [
+            (insert_permute_rows(ck, kn, src, jnp.asarray(pos)),
+             insert_permute_rows(cv, vn, src, jnp.asarray(pos)))
+            for (ck, cv), (kn, vn) in zip(c_app, new_kv)
+        ]
+        for a, bb in zip(jax.tree_util.tree_leaves(c_ref),
+                         jax.tree_util.tree_leaves(c_app)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_beam_search_unroll_invariance():
+    """unroll=2 (two beam steps per while-loop iteration, the TPU default)
+    returns exactly the same n-best as unroll=1 — the at-most-one extra step
+    past the stop condition is result-inert (see the cond note in
+    beam_search)."""
+    key = jax.random.PRNGKey(5)
+    dec, params, mem, mem_mask, _ = make_decoder(key)
+    t, b, k = 7, 2, 3
+    ctc_logp = jax.nn.log_softmax(
+        jax.random.normal(jax.random.fold_in(key, 4), (b, t, V)), -1
+    )
+    enc_lens = jnp.array([7, 5])
+
+    def att_full(ys, pos):
+        rep = ys.shape[0] // b
+        m = jnp.repeat(mem, rep, axis=0)
+        mm = jnp.repeat(mem_mask, rep, axis=0)
+        return dec.apply(params, m, mm, ys, pos, method="score_step")
+
+    for early_exit in (True, False):
+        for penalty in (0.0, 0.4):
+            res = {}
+            for u in (1, 2):
+                cfg = BeamSearchConfig(
+                    beam_size=k, ctc_weight=0.3, penalty=penalty,
+                    nbest=2, early_exit=early_exit, unroll=u,
+                )
+                res[u] = beam_search(
+                    att_full, ctc_logp, enc_lens, V - 1, V - 1, cfg
+                )
+            np.testing.assert_array_equal(
+                np.asarray(res[1].tokens), np.asarray(res[2].tokens)
+            )
+            np.testing.assert_allclose(
+                np.asarray(res[1].scores), np.asarray(res[2].scores),
+                atol=1e-5,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res[1].lengths), np.asarray(res[2].lengths)
+            )
+
+
 def test_lm_cached_scoring_matches_full_recompute():
     """TransformerLM.score_step_cached over a decode loop == score_step
     (full-prefix recompute) at every position."""
