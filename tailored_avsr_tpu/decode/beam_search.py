@@ -83,6 +83,40 @@ def insert_permute_rows(
     return jnp.where(colmask, new_col[g_src].astype(x.dtype), x[g_src])
 
 
+def write_beam_column(x: jnp.ndarray, new_col: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Write this step's (N, H, 1, dk) K/V column at ``pos-1`` — no reorder.
+
+    The ancestry-cache protocol's only per-step cache write: each row writes
+    the column it computed into its own slot, and the ancestry table
+    (``update_ancestry``) records which slot each hypothesis' history column
+    lives in. With no gather consuming the buffer, XLA keeps the
+    dynamic-update-slice in place inside the beam while-loop.
+    """
+    return jax.lax.dynamic_update_slice_in_dim(
+        x, new_col.astype(x.dtype), pos - 1, axis=2
+    )
+
+
+def update_ancestry(
+    anc: jnp.ndarray,  # (N, Lc) int32
+    g_src: jnp.ndarray,  # (N,) global beam-source rows
+    src_bk: jnp.ndarray,  # (B, K) within-group beam-source indices
+    pos: jnp.ndarray,  # scalar: column pos-1 was just written
+) -> jnp.ndarray:
+    """Thread the ancestry table through a beam reorder.
+
+    New slot i of group b continues the hypothesis that occupied slot
+    ``src_bk[b, i]``; it inherits that slot's ancestry for columns < pos-1,
+    and its column pos-1 (written this step by the source slot itself) lives
+    at ``src_bk[b, i]``.
+    """
+    n = anc.shape[0]
+    anc = anc[g_src]
+    return jax.lax.dynamic_update_slice(
+        anc, src_bk.reshape(n, 1).astype(anc.dtype), (0, pos - 1)
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class BeamSearchConfig:
     beam_size: int = 30

@@ -85,6 +85,14 @@ class Speech2Text:
         # batch-8 operating point, where ~50 lax.cond dispatches per step cost
         # more than the skipped bandwidth; raise for long-sequence serving)
         self.cache_segments = int(inf.get("cache_segments", 1))
+        # beam KV-cache protocol: 'anc' (default) never reorders the cache —
+        # an (N, Lc) int32 ancestry table re-attributes columns after each
+        # beam reorder and the attend resolves it as a masked group attend
+        # (ops.attention.attend_kv_anc): 1x cache read + one column write per
+        # step. 'append' physically permutes every cache leaf each step
+        # (read+write the full cache) via the fused insert_permute_rows —
+        # kept for A/B measurement (scripts/sweep_beam_cost.py).
+        self.cache_protocol = str(inf.get("cache_protocol", "anc"))
         # device-side input normalization: inputs may arrive quantized (uint8
         # video straight from the ROI files, int16 audio) to cut host->device
         # bandwidth 4x / 2x; the jit graph undoes the quantization with these
@@ -427,7 +435,87 @@ class Speech2Text:
                         for (ck, cv), (kn, vn) in zip(cache, new_kv)
                     ]
 
-                if fold_lm and not seg_cache:
+                anc_proto = self.cache_protocol == "anc" and not seg_cache
+                if anc_proto:
+                    # ancestry protocol (default): the cache never moves; an
+                    # (N, Lc) int32 table tracks which beam slot wrote each
+                    # column and the scorers attend through it
+                    # (score_step_anc). Per step the only cache traffic is
+                    # the attend read plus one written column per leaf.
+                    from tailored_avsr_tpu.decode.beam_search import (
+                        update_ancestry,
+                        write_beam_column,
+                    )
+
+                    att_state = {
+                        "dec": dec_cache,
+                        "dec_new": model.decoder.init_cache(
+                            n, 1, dtype=enc_out.dtype
+                        ),
+                        "anc": jnp.zeros((n, enc_out.shape[1] + 2), jnp.int32),
+                    }
+                    if fold_lm:
+                        att_state["lm"] = lm.apply(
+                            lmv, n, enc_out.shape[1] + 2,
+                            method=lambda m, *a: m.init_cache(
+                                *a, dtype=enc_out.dtype
+                            ),
+                        )
+                        att_state["lm_new"] = lm.apply(
+                            lmv, n, 1,
+                            method=lambda m, *a: m.init_cache(
+                                *a, dtype=enc_out.dtype
+                            ),
+                        )
+                        lm_scale = cfg.lm_weight / att_w
+
+                    def att_fn(ys, pos, state):
+                        lp, dec_new = model.apply(
+                            variables, mem_kv, mm_rep, ys, pos, state["dec"],
+                            state["anc"], cfg.beam_size,
+                            method=lambda m, *a: m.decoder.score_step_anc(*a),
+                        )
+                        out = dict(state)
+                        out["dec_new"] = cast_kv(dec_new)
+                        if fold_lm:
+                            lm_lp, lm_new = lm.apply(
+                                lmv, ys, pos, state["lm"], state["anc"],
+                                cfg.beam_size, method="score_step_anc",
+                            )
+                            if ngram is not None and ngram_w > 0:
+                                lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
+                                    ngram.score_step(ys, pos)
+                                )
+                            lp = lp + lm_scale * lm_lp
+                            out["lm_new"] = cast_kv(lm_new)
+                        return lp, out
+
+                    def att_gather_fn(state, g_src, pos):
+                        src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
+                        out = {
+                            "dec": [
+                                (write_beam_column(ck, kn, pos),
+                                 write_beam_column(cv, vn, pos))
+                                for (ck, cv), (kn, vn) in zip(
+                                    state["dec"], state["dec_new"]
+                                )
+                            ],
+                            "dec_new": state["dec_new"],
+                            "anc": update_ancestry(
+                                state["anc"], g_src, src_bk, pos
+                            ),
+                        }
+                        if fold_lm:
+                            out["lm"] = [
+                                (write_beam_column(ck, kn, pos),
+                                 write_beam_column(cv, vn, pos))
+                                for (ck, cv), (kn, vn) in zip(
+                                    state["lm"], state["lm_new"]
+                                )
+                            ]
+                            out["lm_new"] = state["lm_new"]
+                        return out
+                elif fold_lm and not seg_cache:
                     # append protocol: scorers never write their caches; the
                     # step's K/V columns ride in the *_new state slots and the
                     # beam's reorder gather folds them in (insert_permute_rows)

@@ -596,6 +596,48 @@ class TransformerDecoder(_DecoderBase):
         return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), new_kv
 
 
+    def score_step_anc(
+        self,
+        mem_kv,  # list of per-layer (K, V) from precompute_memory
+        memory_mask: Optional[jnp.ndarray],
+        ys: jnp.ndarray,  # (N, L) fixed-size token buffer
+        pos: jnp.ndarray,  # scalar: position being generated
+        cache,  # list of per-layer (K, V) self-attention caches (unordered)
+        anc: jnp.ndarray,  # (N, >=Lc) int32 ancestry table
+        beam: int,
+    ):
+        """Ancestry-cache beam-step scorer: ((N, V) log-probs, new_kv).
+
+        Twin of ``score_step_append`` for the never-reordered beam KV cache:
+        history columns are resolved through ``anc`` inside the attend
+        (``MultiHeadedAttention.attend_kv_anc``), so the beam loop's only
+        per-step cache traffic is the attend read plus one column write.
+        """
+        assert self.layer_variant == "transformer"
+        n, l = ys.shape
+        lc = cache[0][0].shape[2]
+        tok = jnp.take_along_axis(
+            ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
+        )  # (N, 1)
+        x = self.embed_tok(tok)  # (N, 1, D)
+        x = self.pos_enc.at_position(x, pos - 1, lc)
+        new_kv = []
+        for layer, (mk, mv), (ck, cv) in zip(self.layers, mem_kv, cache):
+            h = layer.norm1(x)
+            q, k_new, v_new = layer.self_attn.project_qkv(h)  # (N, H, 1, dk)
+            x = x + layer.self_attn.attend_kv_anc(
+                ck, cv, k_new, v_new, anc, pos, beam, q
+            )
+            h = layer.norm2(x)
+            x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)
+            h = layer.norm3(x)
+            x = x + layer.feed_forward(h, deterministic=True)
+            new_kv.append((k_new, v_new))
+        x = self.after_norm(x)
+        logits = self.output_layer(x) if self.use_output_layer else x
+        return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1), new_kv
+
+
 class MLMDecoder(_DecoderBase):
     """Mask-CTC MLM decoder: full (non-causal) self-attention over tokens."""
 

@@ -191,6 +191,38 @@ class TransformerLM(nn.Module):
             new_kv,
         )
 
+    def score_step_anc(self, ys, pos, cache, anc, beam: int):
+        """Ancestry-cache beam-step scorer: ((N, V) log-probs, new_kv).
+
+        Like ``score_step_append`` but the cache rows are never reordered by
+        the beam loop; attention resolves each history column through the
+        (N, Lc) ``anc`` table instead (``MultiHeadedAttention.attend_kv_anc``).
+        The step's K/V column is returned for the loop to write at its own
+        row — the only per-step cache write is one column per leaf.
+        """
+        n, l = ys.shape
+        lc = cache[0][0].shape[2]
+        tok = jnp.take_along_axis(
+            ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
+        )  # (N, 1)
+        x = self.embed_tok(tok)
+        x = self.pos_enc.at_position(x, pos - 1, lc)
+        new_kv = []
+        for layer, (ck, cv) in zip(self.layers, cache):
+            h = layer.norm1(x)
+            q, k_new, v_new = layer.self_attn.project_qkv(h)
+            x = x + layer.self_attn.attend_kv_anc(
+                ck, cv, k_new, v_new, anc, pos, beam, q
+            )
+            h = layer.norm2(x)
+            x = x + layer.feed_forward(h, deterministic=True)
+            new_kv.append((k_new, v_new))
+        logits = self.output_layer(self.after_norm(x))
+        return (
+            jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1),
+            new_kv,
+        )
+
     def nll(self, tokens, lengths, *, deterministic: bool = True):
         """Per-utterance NLL for perplexity (lm_main.py:45-57). Input tokens are
         <sos/eos>-free; we wrap with sos/eos internally like espnet LM.

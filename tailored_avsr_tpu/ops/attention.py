@@ -185,6 +185,79 @@ class MultiHeadedAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], 1, d)
         return self.linear_out(out)
 
+    def attend_kv_anc(
+        self,
+        k: jnp.ndarray,  # (N, H, Lc, dk) UNORDERED cached keys, N = B*beam
+        v: jnp.ndarray,  # (N, H, Lc, dk) unordered cached values
+        k_new: jnp.ndarray,  # (N, H, 1, dk) this step's key column (self)
+        v_new: jnp.ndarray,  # (N, H, 1, dk) this step's value column
+        anc: jnp.ndarray,  # (N, >=Lc) int32 ancestry: column t of row n's
+        #                    history lives in cache row (n // beam)*beam + anc[n, t]
+        pos: jnp.ndarray,  # scalar: cache columns < pos-1 are live
+        beam: int,
+        q_heads: jnp.ndarray,  # precomputed (N, H, 1, dk) query heads
+    ) -> jnp.ndarray:
+        """Single-query attention over an ancestry-indexed beam KV cache.
+
+        Beam search must re-attribute each cache column to the hypothesis that
+        now continues it after every reorder. Physically permuting the cache
+        (``decode.beam_search.insert_permute_rows``) costs a full cache
+        read+write per step and dominates the decode loop (scripts/
+        sweep_beam_cost.py: the LM cache alone is ~1 GB at batch 32 beam 10).
+        Here the cache NEVER moves: rows are storage slots, and a tiny
+        (N, Lc) int32 ancestry table says which slot within the beam group
+        wrote each column of each hypothesis' history. The attend becomes a
+        group attend — every query row attends over all ``beam`` rows of its
+        group (plain batched matmuls in the cache's native layout, batch dims
+        (B, j, H), no transpose of the big tensors) with a one-hot
+        ``anc[n, t] == j`` mask applied to the small logits tensor. Exactly
+        one j is valid per live column, so the masked softmax over (j, t)
+        equals the softmax over the gathered history — same numerics as
+        ``attend_kv_append`` on a physically-reordered cache, at 1x cache
+        read per step instead of read+write+read.
+        """
+        n, h, lc, dk = k.shape
+        b = n // beam
+        q = q_heads  # (N, H, 1, dk)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
+        qg = q[:, :, 0].reshape(b, beam, h, dk)  # (B, i, H, dk)
+        kg = k.reshape(b, beam, h, lc, dk)  # (B, j, H, t, dk)
+        vg = v.reshape(b, beam, h, lc, dk)
+        # broadcast queries over the j (source-row) axis so both matmuls keep
+        # batch dims (B, j, H) — the big cache tensors stay in native layout
+        q_exp = jnp.broadcast_to(
+            qg[:, None], (b, beam, beam, h, dk)
+        )  # (B, j, i, H, dk); only the small q is materialized per-j
+        s = (
+            jnp.einsum("bjihd,bjhtd->bjhit", q_exp, kg).astype(jnp.float32)
+            * scale
+        )  # (B, j, H, i, t)
+        ancg = anc[:, :lc].reshape(b, beam, lc)  # (B, i, t)
+        valid = ancg[:, None] == jnp.arange(beam)[None, :, None, None]
+        valid = valid & (jnp.arange(lc)[None, None, None] < pos - 1)
+        valid = valid[:, :, None]  # (B, j, 1, i, t) broadcast over heads
+        s = jnp.where(valid, s, MASK_MIN)
+        s_new = (
+            jnp.einsum("nhd,nhd->nh", q[:, :, 0], k_new[:, :, 0]).astype(
+                jnp.float32
+            )
+            * scale
+        ).reshape(b, beam, h).transpose(0, 2, 1)  # (B, H, i) self logit
+        m = jnp.maximum(jnp.max(s, axis=(1, 4)), s_new)  # (B, H, i)
+        p = jnp.exp(s - m[:, None, :, :, None]) * valid  # (B, j, H, i, t)
+        p_new = jnp.exp(s_new - m)  # (B, H, i)
+        lsum = jnp.sum(p, axis=(1, 4)) + p_new  # (B, H, i)
+        w = (p / lsum[:, None, :, :, None]).astype(v.dtype)
+        w_new = (p_new / lsum).astype(v.dtype)
+        out = jnp.sum(
+            jnp.einsum("bjhit,bjhtd->bjhid", w, vg), axis=1
+        )  # (B, H, i, dk)
+        vn = v_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
+        out = out + w_new[..., None] * vn
+        d = h * dk
+        out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)  # heads-major concat
+        return self.linear_out(out)
+
     def attend_kv_segmented(
         self,
         query: jnp.ndarray,  # (B, 1, D) single-step query input

@@ -135,6 +135,153 @@ def test_decoder_append_step_matches_cached():
                                        rtol=2e-4, atol=2e-5)
 
 
+def test_decoder_anc_step_matches_cached():
+    """score_step_anc over a never-reordered cache + ancestry table ==
+    score_step_cached + physical reorder, across steps with random beam
+    reordering (the default TPU decode protocol: the cache rows are storage
+    slots; attend_kv_anc resolves history through the anc table)."""
+    from tailored_avsr_tpu.decode.beam_search import (
+        reorder_beam_rows,
+        update_ancestry,
+        write_beam_column,
+    )
+
+    key = jax.random.PRNGKey(11)
+    b, k = 2, 3
+    n = b * k
+    dec = TransformerDecoder(
+        vocab_size=V, encoder_output_size=D, attention_heads=4,
+        linear_units=48, num_blocks=2, dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+    )
+    mem = jax.random.normal(key, (n, 7, D))
+    mem_mask = jnp.ones((n, 7), bool)
+    L = 6
+    ys = jnp.zeros((n, L), jnp.int32).at[:, 0].set(V - 1)
+    params = dec.init(key, mem, mem_mask, ys, jnp.full((n,), 1))
+    mem_kv = dec.apply(params, mem, method="precompute_memory")
+    c_ref = dec.init_cache(n, L)
+    c_anc = dec.init_cache(n, L)
+    anc = jnp.zeros((n, L), jnp.int32)
+    rng = np.random.RandomState(13)
+    for pos in range(1, L):
+        lp_r, c_ref = dec.apply(params, mem_kv, mem_mask, ys, jnp.asarray(pos),
+                                c_ref, method="score_step_cached")
+        lp_a, new_kv = dec.apply(
+            params, mem_kv, mem_mask, ys, jnp.asarray(pos), c_anc, anc, k,
+            method="score_step_anc",
+        )
+        np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_r),
+                                   rtol=2e-4, atol=2e-5)
+        src = jnp.asarray(rng.randint(0, k, (b, k)))
+        g = (jnp.arange(b)[:, None] * k + src).reshape(n)
+        ys = ys.at[:, pos].set(
+            jnp.asarray(rng.randint(1, V - 1, size=(n,)))
+        )[g]
+        c_ref = jax.tree_util.tree_map(lambda x: reorder_beam_rows(x, src),
+                                       c_ref)
+        c_anc = [
+            (write_beam_column(ck, kn, jnp.asarray(pos)),
+             write_beam_column(cv, vn, jnp.asarray(pos)))
+            for (ck, cv), (kn, vn) in zip(c_anc, new_kv)
+        ]
+        anc = update_ancestry(anc, g, src, jnp.asarray(pos))
+
+
+def test_lm_anc_step_matches_cached():
+    """TransformerLM.score_step_anc == score_step_cached + physical reorder
+    across steps with random beam reordering."""
+    from tailored_avsr_tpu.decode.beam_search import (
+        reorder_beam_rows,
+        update_ancestry,
+        write_beam_column,
+    )
+    from tailored_avsr_tpu.models.lm import TransformerLM
+
+    V2, b, k, L2 = 9, 2, 3, 7
+    n = b * k
+    lm = TransformerLM(vocab_size=V2, att_unit=16, head=2, unit=24, layer=2,
+                       dropout_rate=0.0, positional_dropout_rate=0.0)
+    key = jax.random.PRNGKey(17)
+    ys = jax.random.randint(key, (n, L2), 0, V2)
+    variables = lm.init(key, ys, jnp.full((n,), L2))
+    c_ref = lm.apply(variables, n, L2, method=lambda m, *a: m.init_cache(*a))
+    c_anc = lm.apply(variables, n, L2, method=lambda m, *a: m.init_cache(*a))
+    anc = jnp.zeros((n, L2), jnp.int32)
+    rng = np.random.RandomState(19)
+    for pos in range(1, L2):
+        lp_r, c_ref = lm.apply(variables, ys, jnp.asarray(pos), c_ref,
+                               method="score_step_cached")
+        lp_a, new_kv = lm.apply(variables, ys, jnp.asarray(pos), c_anc, anc, k,
+                                method="score_step_anc")
+        np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_r),
+                                   rtol=2e-4, atol=2e-5)
+        src = jnp.asarray(rng.randint(0, k, (b, k)))
+        g = (jnp.arange(b)[:, None] * k + src).reshape(n)
+        ys = ys.at[:, pos].set(
+            jnp.asarray(rng.randint(0, V2 - 1, size=(n,)))
+        )[g]
+        c_ref = jax.tree_util.tree_map(lambda x: reorder_beam_rows(x, src),
+                                       c_ref)
+        c_anc = [
+            (write_beam_column(ck, kn, jnp.asarray(pos)),
+             write_beam_column(cv, vn, jnp.asarray(pos)))
+            for (ck, cv), (kn, vn) in zip(c_anc, new_kv)
+        ]
+        anc = update_ancestry(anc, g, src, jnp.asarray(pos))
+
+
+def test_speech2text_append_protocol_matches_anc(tmp_path):
+    """inference_conf cache_protocol 'append' (physical cache permutation)
+    returns the same hypotheses as the default ancestry protocol."""
+    import types
+    from tailored_avsr_tpu.inference import Speech2Text
+
+    tok = tmp_path / "tokens.txt"
+    tok.write_text("\n".join(["<blank>", "<unk>"] +
+                              [chr(65 + i) for i in range(6)] + ["<sos/eos>"]))
+    base = dict(
+        task="asr",
+        token_list=str(tok),
+        frontend="default",
+        frontend_conf={"n_fft": 512, "win_length": 400, "hop_length": 160,
+                       "n_mels": 20},
+        encoder="branchformer",
+        encoder_conf={"output_size": 24, "attention_heads": 4,
+                      "linear_units": 32, "cgmlp_linear_units": 32,
+                      "cgmlp_conv_kernel": 7, "num_blocks": 1,
+                      "input_layer": "conv2d", "dropout_rate": 0.0},
+        decoder="transformer",
+        decoder_conf={"attention_heads": 4, "linear_units": 32,
+                      "num_blocks": 1, "dropout_rate": 0.0},
+        model="espnet", model_conf={"ctc_weight": 0.3},
+        inference_conf={"beam_size": 3, "ctc_weight": 0.3, "lm_weight": 0.4,
+                        "nbest": 2},
+    )
+    lm_cfg = types.SimpleNamespace(
+        token_list=None, lm_conf={"att_unit": 16, "head": 2, "unit": 24,
+                                  "layer": 2, "dropout_rate": 0.0},
+    )
+    rng = np.random.RandomState(23)
+    B, S = 2, 640 * 6
+    batch = {
+        "speech": (rng.randn(B, S) * 0.1).astype(np.float32),
+        "speech_lengths": np.full((B,), S, np.int32),
+        "text": np.ones((B, 4), np.int32),
+        "text_lengths": np.full((B,), 4, np.int32),
+    }
+    s_anc = Speech2Text(types.SimpleNamespace(**base), lm_config=lm_cfg)
+    res_anc = s_anc(batch)
+    base2 = dict(base, inference_conf=dict(base["inference_conf"],
+                                           cache_protocol="append"))
+    s_app = Speech2Text(types.SimpleNamespace(**base2), lm_config=lm_cfg)
+    s_app.ensure_params(batch)
+    s_app.variables = s_anc.variables
+    s_app.lm_variables = s_anc.lm_variables
+    res_app = s_app(batch)
+    assert [r[0] for r in res_anc] == [r[0] for r in res_app]
+
+
 def test_beam_search_unroll_invariance():
     """unroll=2 (two beam steps per while-loop iteration, the TPU default)
     returns exactly the same n-best as unroll=1 — the at-most-one extra step
