@@ -27,10 +27,13 @@ def timeit(fn, *args, iters=5):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batches", default="32", help="comma-separated batch sizes")
     ap.add_argument("--beam", type=int, default=10)
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--variants", default="att,att+ctc,att+ctc+lm")
+    ap.add_argument("--protocol", default="anc",
+                    help="beam KV-cache protocol: anc | append")
+    ap.add_argument("--unroll", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -39,46 +42,50 @@ def main():
     from tailored_avsr_tpu.utils.config import load_config
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    b, frames = args.batch, args.frames
+    frames = args.frames
     samples = frames * 640
-    rng = np.random.RandomState(0)
-    data = {
-        "audio": (rng.randn(b, samples) * 0.1).astype(np.float32),
-        "audio_lengths": np.full((b,), samples, np.int32),
-        "video": rng.randn(b, frames, 88, 88).astype(np.float32),
-        "video_lengths": np.full((b,), frames, np.int32),
-        "text": np.ones((b, 8), np.int32),
-        "text_lengths": np.full((b,), 8, np.int32),
-    }
-    secs = b * samples / 16000.0
 
-    for variant in args.variants.split(","):
-        ctc_w = 0.1 if "ctc" in variant else 0.0
-        lm_on = "lm" in variant
-        cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
-        lm_cfg = load_config("configs/LM/lm_spanish.yaml") if lm_on else None
-        if on_tpu:
-            cfg.dtype = "bfloat16"
-            cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
-        cfg.inference_conf = dict(
-            cfg.inference_conf, beam_size=args.beam, ctc_weight=ctc_w,
-            lm_weight=0.4 if lm_on else 0.0, early_exit=False,
-        )
-        s2t = Speech2Text(cfg, lm_config=lm_cfg)
-        d = s2t.device_put_batch(dict(data))
-        dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
-        line = {
-            "variant": variant, "ms": round(dt * 1e3, 1),
-            "rtf": round(secs / dt, 1),
+    for b in [int(x) for x in args.batches.split(",")]:
+        rng = np.random.RandomState(0)
+        data = {
+            "audio": (rng.randn(b, samples) * 0.1).astype(np.float32),
+            "audio_lengths": np.full((b,), samples, np.int32),
+            "video": rng.randn(b, frames, 88, 88).astype(np.float32),
+            "video_lengths": np.full((b,), frames, np.int32),
+            "text": np.ones((b, 8), np.int32),
+            "text_lengths": np.full((b,), 8, np.int32),
         }
-        if lm_on:  # params are lazily initialized by the first decode
-            line["lm_param_dtypes"] = sorted({
-                str(x.dtype)
-                for x in jax.tree_util.tree_leaves(s2t.lm_variables)
-                if hasattr(x, "dtype") and "float" in str(x.dtype)
-            })
-        print(json.dumps(line), flush=True)
-        del s2t
+        secs = b * samples / 16000.0
+
+        for variant in args.variants.split(","):
+            ctc_w = 0.1 if "ctc" in variant else 0.0
+            lm_on = "lm" in variant
+            cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
+            lm_cfg = load_config("configs/LM/lm_spanish.yaml") if lm_on else None
+            if on_tpu:
+                cfg.dtype = "bfloat16"
+                cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
+            cfg.inference_conf = dict(
+                cfg.inference_conf, beam_size=args.beam, ctc_weight=ctc_w,
+                lm_weight=0.4 if lm_on else 0.0, early_exit=False,
+                cache_protocol=args.protocol, unroll=args.unroll,
+            )
+            s2t = Speech2Text(cfg, lm_config=lm_cfg)
+            d = s2t.device_put_batch(dict(data))
+            dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
+            line = {
+                "batch": b, "protocol": args.protocol, "unroll": args.unroll,
+                "variant": variant, "ms": round(dt * 1e3, 1),
+                "rtf": round(secs / dt, 1),
+            }
+            if lm_on:  # params are lazily initialized by the first decode
+                line["lm_param_dtypes"] = sorted({
+                    str(x.dtype)
+                    for x in jax.tree_util.tree_leaves(s2t.lm_variables)
+                    if hasattr(x, "dtype") and "float" in str(x.dtype)
+                })
+            print(json.dumps(line), flush=True)
+            del s2t
 
 
 if __name__ == "__main__":

@@ -391,12 +391,12 @@ class Speech2Text:
                 # KV-cache fast path: cross-attn K/V once, O(1) per step;
                 # the self-attn cache is length-segmented so the per-step
                 # reorder gather and attention skip segments beyond pos
-                mem_kv = model.apply(
+                mem_kv_b = model.apply(
                     variables, enc_out,
                     method=lambda m, mem: m.decoder.precompute_memory(mem),
-                )
+                )  # B rows — group-shared (the anc protocol reads it as-is)
                 mem_kv = jax.tree_util.tree_map(
-                    lambda x: jnp.repeat(x, k, axis=0), mem_kv
+                    lambda x: jnp.repeat(x, k, axis=0), mem_kv_b
                 )
                 mm_rep = jnp.repeat(mem_mask, k, axis=0)
                 n_seg = max(1, min(self.cache_segments, enc_out.shape[1]))
@@ -471,8 +471,8 @@ class Speech2Text:
 
                     def att_fn(ys, pos, state):
                         lp, dec_new = model.apply(
-                            variables, mem_kv, mm_rep, ys, pos, state["dec"],
-                            state["anc"], cfg.beam_size,
+                            variables, mem_kv_b, mem_mask, ys, pos,
+                            state["dec"], state["anc"], cfg.beam_size,
                             method=lambda m, *a: m.decoder.score_step_anc(*a),
                         )
                         out = dict(state)

@@ -598,9 +598,9 @@ class TransformerDecoder(_DecoderBase):
 
     def score_step_anc(
         self,
-        mem_kv,  # list of per-layer (K, V) from precompute_memory
-        memory_mask: Optional[jnp.ndarray],
-        ys: jnp.ndarray,  # (N, L) fixed-size token buffer
+        mem_kv,  # list of per-layer (K, V) from precompute_memory, B rows
+        memory_mask: Optional[jnp.ndarray],  # (B, T) — NOT beam-repeated
+        ys: jnp.ndarray,  # (N, L) fixed-size token buffer, N = B*beam
         pos: jnp.ndarray,  # scalar: position being generated
         cache,  # list of per-layer (K, V) self-attention caches (unordered)
         anc: jnp.ndarray,  # (N, >=Lc) int32 ancestry table
@@ -609,9 +609,12 @@ class TransformerDecoder(_DecoderBase):
         """Ancestry-cache beam-step scorer: ((N, V) log-probs, new_kv).
 
         Twin of ``score_step_append`` for the never-reordered beam KV cache:
-        history columns are resolved through ``anc`` inside the attend
+        self-attention resolves history through ``anc``
         (``MultiHeadedAttention.attend_kv_anc``), so the beam loop's only
-        per-step cache traffic is the attend read plus one column write.
+        per-step cache traffic is the attend read plus one column write; and
+        cross-attention takes the encoder memory K/V with B rows — shared
+        across each beam group (``attend_kv_mem_grouped``) instead of
+        beam-repeated, cutting its per-step HBM read by the beam factor.
         """
         assert self.layer_variant == "transformer"
         n, l = ys.shape
@@ -629,7 +632,9 @@ class TransformerDecoder(_DecoderBase):
                 ck, cv, k_new, v_new, anc, pos, beam, q
             )
             h = layer.norm2(x)
-            x = x + layer.src_attn.attend_kv(h, mk, mv, memory_mask)
+            x = x + layer.src_attn.attend_kv_mem_grouped(
+                h, mk, mv, memory_mask, beam
+            )
             h = layer.norm3(x)
             x = x + layer.feed_forward(h, deterministic=True)
             new_kv.append((k_new, v_new))

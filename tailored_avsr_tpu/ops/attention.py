@@ -258,6 +258,35 @@ class MultiHeadedAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)  # heads-major concat
         return self.linear_out(out)
 
+    def attend_kv_mem_grouped(
+        self,
+        query: jnp.ndarray,  # (N, 1, D) single-step queries, N = B*beam
+        k: jnp.ndarray,  # (B, H, T, dk) group-shared cached keys
+        v: jnp.ndarray,  # (B, H, T, dk) group-shared cached values
+        mask: Optional[jnp.ndarray],  # (B, T) key validity
+        beam: int,
+    ) -> jnp.ndarray:
+        """Cross-attention for beam decode where every row of a beam group
+        shares the same memory K/V (the encoder output): the (B, H, T, dk)
+        tensors are read once per group instead of ``beam`` times. The
+        row-repeated layout (``jnp.repeat(mem_kv, beam)``) costs beam x the
+        HBM traffic of the shared memory every decode step — ~196 MB/step at
+        batch 32 beam 10 on the flagship decoder vs ~20 MB here."""
+        n, _, d = query.shape
+        b = n // beam
+        dk = d // self.num_heads
+        q = self._heads(self.linear_q(query))  # (N, H, 1, dk)
+        qg = q[:, :, 0].reshape(b, beam, self.num_heads, dk).transpose(
+            0, 2, 1, 3
+        )  # (B, H, i, dk)
+        scores = jnp.einsum("bhid,bhtd->bhit", qg, k) / jnp.sqrt(
+            jnp.asarray(dk, jnp.float32)
+        )
+        attn = _masked_softmax(scores, mask).astype(v.dtype)
+        out = jnp.einsum("bhit,bhtd->bhid", attn, v)  # (B, H, i, dk)
+        out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)
+        return self.linear_out(out)
+
     def attend_kv_segmented(
         self,
         query: jnp.ndarray,  # (B, 1, D) single-step query input

@@ -154,12 +154,16 @@ def test_decoder_anc_step_matches_cached():
         linear_units=48, num_blocks=2, dropout_rate=0.0,
         positional_dropout_rate=0.0,
     )
-    mem = jax.random.normal(key, (n, 7, D))
-    mem_mask = jnp.ones((n, 7), bool)
+    # memory is group-shared: the anc protocol's cross-attend takes B rows
+    mem_b = jax.random.normal(key, (b, 7, D))
+    mask_b = jnp.arange(7)[None, :] < jnp.array([7, 5])[:, None]
+    mem = jnp.repeat(mem_b, k, axis=0)
+    mem_mask = jnp.repeat(mask_b, k, axis=0)
     L = 6
     ys = jnp.zeros((n, L), jnp.int32).at[:, 0].set(V - 1)
     params = dec.init(key, mem, mem_mask, ys, jnp.full((n,), 1))
     mem_kv = dec.apply(params, mem, method="precompute_memory")
+    mem_kv_b = dec.apply(params, mem_b, method="precompute_memory")
     c_ref = dec.init_cache(n, L)
     c_anc = dec.init_cache(n, L)
     anc = jnp.zeros((n, L), jnp.int32)
@@ -168,7 +172,7 @@ def test_decoder_anc_step_matches_cached():
         lp_r, c_ref = dec.apply(params, mem_kv, mem_mask, ys, jnp.asarray(pos),
                                 c_ref, method="score_step_cached")
         lp_a, new_kv = dec.apply(
-            params, mem_kv, mem_mask, ys, jnp.asarray(pos), c_anc, anc, k,
+            params, mem_kv_b, mask_b, ys, jnp.asarray(pos), c_anc, anc, k,
             method="score_step_anc",
         )
         np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_r),
