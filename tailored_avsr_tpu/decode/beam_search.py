@@ -84,16 +84,21 @@ def insert_permute_rows(
 
 
 def write_beam_column(x: jnp.ndarray, new_col: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Write this step's (N, H, 1, dk) K/V column at ``pos-1`` — no reorder.
+    """Write this step's K/V columns into a group-major (B, H, K, Lc, dk)
+    ancestry cache at column ``pos-1`` — no reorder.
 
-    The ancestry-cache protocol's only per-step cache write: each row writes
-    the column it computed into its own slot, and the ancestry table
-    (``update_ancestry``) records which slot each hypothesis' history column
-    lives in. With no gather consuming the buffer, XLA keeps the
-    dynamic-update-slice in place inside the beam while-loop.
+    The ancestry-cache protocol's only per-step cache write: every slot
+    writes the column it computed (one fused dynamic-update-slice for all
+    N = B*K rows, since they share the same column index), and the ancestry
+    table (``update_ancestry``) records which slot each hypothesis' history
+    column lives in. With no gather consuming the buffer, XLA keeps the
+    update in place inside the beam while-loop. ``new_col`` is the scorer's
+    (N, H, 1, dk) per-row column.
     """
-    return jax.lax.dynamic_update_slice_in_dim(
-        x, new_col.astype(x.dtype), pos - 1, axis=2
+    b, h, km, lc, dk = x.shape
+    upd = new_col[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
+    return jax.lax.dynamic_update_slice(
+        x, upd[:, :, :, None, :].astype(x.dtype), (0, 0, 0, pos - 1, 0)
     )
 
 

@@ -448,7 +448,10 @@ class Speech2Text:
                     )
 
                     att_state = {
-                        "dec": dec_cache,
+                        "dec": model.decoder.init_cache_group(
+                            enc_out.shape[0], k, enc_out.shape[1],
+                            dtype=enc_out.dtype,
+                        ),
                         "dec_new": model.decoder.init_cache(
                             n, 1, dtype=enc_out.dtype
                         ),
@@ -456,8 +459,8 @@ class Speech2Text:
                     }
                     if fold_lm:
                         att_state["lm"] = lm.apply(
-                            lmv, n, enc_out.shape[1] + 2,
-                            method=lambda m, *a: m.init_cache(
+                            lmv, enc_out.shape[0], k, enc_out.shape[1] + 2,
+                            method=lambda m, *a: m.init_cache_group(
                                 *a, dtype=enc_out.dtype
                             ),
                         )

@@ -418,6 +418,23 @@ class TransformerDecoder(_DecoderBase):
             for _ in range(self.num_blocks)  # callable outside apply
         ]
 
+    def init_cache_group(self, b: int, beam: int, max_len: int,
+                         dtype=jnp.float32):
+        """Group-major (B, H, beam, Lc, dk) per-layer (K, V) tensors for the
+        ancestry-cache beam protocol (``score_step_anc``): the beam*Lc
+        columns of a group sit contiguously per (batch, head), so the group
+        attend is one dot_general per step and the column write is one fused
+        dynamic-update-slice (``decode.beam_search.write_beam_column``)."""
+        d = self.encoder_output_size
+        h, dk = self.attention_heads, d // self.attention_heads
+        return [
+            (
+                jnp.zeros((b, h, beam, max_len, dk), dtype),
+                jnp.zeros((b, h, beam, max_len, dk), dtype),
+            )
+            for _ in range(self.num_blocks)
+        ]
+
     # Length-segmented cache: the beam loop's per-step cost on a plain cache
     # is proportional to max_len (gather on reorder + attention read), but
     # only rows [0:pos] are live. Splitting the length axis into segments and
@@ -618,7 +635,7 @@ class TransformerDecoder(_DecoderBase):
         """
         assert self.layer_variant == "transformer"
         n, l = ys.shape
-        lc = cache[0][0].shape[2]
+        lc = cache[0][0].shape[3]
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)

@@ -126,6 +126,20 @@ class TransformerLM(nn.Module):
             for _ in range(self.layer)
         ]
 
+    def init_cache_group(self, b: int, beam: int, max_len: int,
+                         dtype=jnp.float32):
+        """Group-major (B, H, beam, Lc, dk) per-layer (K, V) tensors for the
+        ancestry-cache beam protocol (see TransformerDecoder.init_cache_group)."""
+        d, h = self.att_unit, self.head
+        dk = d // h
+        return [
+            (
+                jnp.zeros((b, h, beam, max_len, dk), dtype),
+                jnp.zeros((b, h, beam, max_len, dk), dtype),
+            )
+            for _ in range(self.layer)
+        ]
+
     def score_step_cached(self, ys: jnp.ndarray, pos: jnp.ndarray, cache):
         """Returns ((N, V) log-probs of the token at ``pos``, updated cache)."""
         n, l = ys.shape
@@ -194,14 +208,15 @@ class TransformerLM(nn.Module):
     def score_step_anc(self, ys, pos, cache, anc, beam: int):
         """Ancestry-cache beam-step scorer: ((N, V) log-probs, new_kv).
 
-        Like ``score_step_append`` but the cache rows are never reordered by
-        the beam loop; attention resolves each history column through the
+        Like ``score_step_append`` but the cache (group-major
+        (B, H, beam, Lc, dk), ``init_cache_group``) is never reordered by the
+        beam loop; attention resolves each history column through the
         (N, Lc) ``anc`` table instead (``MultiHeadedAttention.attend_kv_anc``).
         The step's K/V column is returned for the loop to write at its own
-        row — the only per-step cache write is one column per leaf.
+        slot — the only per-step cache write is one column per leaf.
         """
         n, l = ys.shape
-        lc = cache[0][0].shape[2]
+        lc = cache[0][0].shape[3]
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)

@@ -187,12 +187,12 @@ class MultiHeadedAttention(nn.Module):
 
     def attend_kv_anc(
         self,
-        k: jnp.ndarray,  # (N, H, Lc, dk) UNORDERED cached keys, N = B*beam
-        v: jnp.ndarray,  # (N, H, Lc, dk) unordered cached values
+        k: jnp.ndarray,  # (B, H, beam, Lc, dk) group-major cached keys
+        v: jnp.ndarray,  # (B, H, beam, Lc, dk) group-major cached values
         k_new: jnp.ndarray,  # (N, H, 1, dk) this step's key column (self)
         v_new: jnp.ndarray,  # (N, H, 1, dk) this step's value column
         anc: jnp.ndarray,  # (N, >=Lc) int32 ancestry: column t of row n's
-        #                    history lives in cache row (n // beam)*beam + anc[n, t]
+        #                    history lives in cache slot anc[n, t] of its group
         pos: jnp.ndarray,  # scalar: cache columns < pos-1 are live
         beam: int,
         q_heads: jnp.ndarray,  # precomputed (N, H, 1, dk) query heads
@@ -204,56 +204,59 @@ class MultiHeadedAttention(nn.Module):
         (``decode.beam_search.insert_permute_rows``) costs a full cache
         read+write per step and dominates the decode loop (scripts/
         sweep_beam_cost.py: the LM cache alone is ~1 GB at batch 32 beam 10).
-        Here the cache NEVER moves: rows are storage slots, and a tiny
-        (N, Lc) int32 ancestry table says which slot within the beam group
-        wrote each column of each hypothesis' history. The attend becomes a
-        group attend — every query row attends over all ``beam`` rows of its
-        group (plain batched matmuls in the cache's native layout, batch dims
-        (B, j, H), no transpose of the big tensors) with a one-hot
-        ``anc[n, t] == j`` mask applied to the small logits tensor. Exactly
-        one j is valid per live column, so the masked softmax over (j, t)
-        equals the softmax over the gathered history — same numerics as
+        Here the cache NEVER moves: slots are storage, and a tiny (N, Lc)
+        int32 ancestry table says which slot within the beam group wrote each
+        column of each hypothesis' history. The attend becomes a group attend
+        — every query attends over all ``beam * Lc`` columns of its group
+        with a one-hot ``anc[n, t] == j`` mask on the logits. Exactly one j
+        is valid per live column, so the masked softmax over (j, t) equals
+        the softmax over the gathered history — same numerics as
         ``attend_kv_append`` on a physically-reordered cache, at 1x cache
         read per step instead of read+write+read.
+
+        The cache layout is group-major (B, H, beam, Lc, dk) so both matmuls
+        are single ``dot_general``s with batch dims (B, H) and the beam*Lc
+        columns merged into one contraction/output axis — B*H matmuls of
+        (beam, dk) x (dk, beam*Lc), big enough to stream the cache at HBM
+        bandwidth. A row-major (N, H, Lc, dk) layout instead yields B*beam*H
+        tiny (beam, dk) x (dk, Lc) matmuls (~13 KB of K each at the flagship
+        decode shape) which XLA lowers at a fraction of peak (measured 30
+        ms/step at batch 32 vs the ~2 ms traffic bound).
         """
-        n, h, lc, dk = k.shape
-        b = n // beam
+        b, h, km, lc, dk = k.shape
+        n = b * beam
         q = q_heads  # (N, H, 1, dk)
         scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
-        qg = q[:, :, 0].reshape(b, beam, h, dk)  # (B, i, H, dk)
-        kg = k.reshape(b, beam, h, lc, dk)  # (B, j, H, t, dk)
-        vg = v.reshape(b, beam, h, lc, dk)
-        # broadcast queries over the j (source-row) axis so both matmuls keep
-        # batch dims (B, j, H) — the big cache tensors stay in native layout
-        q_exp = jnp.broadcast_to(
-            qg[:, None], (b, beam, beam, h, dk)
-        )  # (B, j, i, H, dk); only the small q is materialized per-j
-        s = (
-            jnp.einsum("bjihd,bjhtd->bjhit", q_exp, kg).astype(jnp.float32)
-            * scale
-        )  # (B, j, H, i, t)
+        qg = q[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
+        # (B, H, i, dk) x (B, H, j*t, dk)^T -> logits (B, H, i, j*t)
+        s = jax.lax.dot_general(
+            qg, k.reshape(b, h, km * lc, dk),
+            (((3,), (3,)), ((0, 1), (0, 1))),
+        ).astype(jnp.float32).reshape(b, h, beam, km, lc) * scale
         ancg = anc[:, :lc].reshape(b, beam, lc)  # (B, i, t)
-        valid = ancg[:, None] == jnp.arange(beam)[None, :, None, None]
-        valid = valid & (jnp.arange(lc)[None, None, None] < pos - 1)
-        valid = valid[:, :, None]  # (B, j, 1, i, t) broadcast over heads
-        s = jnp.where(valid, s, MASK_MIN)
+        valid = (
+            ancg[:, None, :, None, :]
+            == jnp.arange(km)[None, None, None, :, None]
+        ) & (jnp.arange(lc) < pos - 1)[None, None, None, None, :]
+        s = jnp.where(valid, s, MASK_MIN)  # (B, H, i, j, t); valid bcast on H
         s_new = (
             jnp.einsum("nhd,nhd->nh", q[:, :, 0], k_new[:, :, 0]).astype(
                 jnp.float32
             )
             * scale
         ).reshape(b, beam, h).transpose(0, 2, 1)  # (B, H, i) self logit
-        m = jnp.maximum(jnp.max(s, axis=(1, 4)), s_new)  # (B, H, i)
-        p = jnp.exp(s - m[:, None, :, :, None]) * valid  # (B, j, H, i, t)
+        m = jnp.maximum(jnp.max(s, axis=(3, 4)), s_new)  # (B, H, i)
+        p = jnp.exp(s - m[..., None, None]) * valid  # (B, H, i, j, t)
         p_new = jnp.exp(s_new - m)  # (B, H, i)
-        lsum = jnp.sum(p, axis=(1, 4)) + p_new  # (B, H, i)
-        w = (p / lsum[:, None, :, :, None]).astype(v.dtype)
-        w_new = (p_new / lsum).astype(v.dtype)
-        out = jnp.sum(
-            jnp.einsum("bjhit,bjhtd->bjhid", w, vg), axis=1
-        )  # (B, H, i, dk)
+        lsum = jnp.sum(p, axis=(3, 4)) + p_new  # (B, H, i)
+        w = (p / lsum[..., None, None]).astype(v.dtype)
+        # (B, H, i, j*t) x (B, H, j*t, dk) -> (B, H, i, dk)
+        out = jax.lax.dot_general(
+            w.reshape(b, h, beam, km * lc), v.reshape(b, h, km * lc, dk),
+            (((3,), (2,)), ((0, 1), (0, 1))),
+        )
         vn = v_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
-        out = out + w_new[..., None] * vn
+        out = out + ((p_new / lsum).astype(v.dtype))[..., None] * vn
         d = h * dk
         out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)  # heads-major concat
         return self.linear_out(out)

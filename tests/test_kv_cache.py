@@ -165,7 +165,7 @@ def test_decoder_anc_step_matches_cached():
     mem_kv = dec.apply(params, mem, method="precompute_memory")
     mem_kv_b = dec.apply(params, mem_b, method="precompute_memory")
     c_ref = dec.init_cache(n, L)
-    c_anc = dec.init_cache(n, L)
+    c_anc = dec.init_cache_group(b, k, L)
     anc = jnp.zeros((n, L), jnp.int32)
     rng = np.random.RandomState(13)
     for pos in range(1, L):
@@ -210,7 +210,8 @@ def test_lm_anc_step_matches_cached():
     ys = jax.random.randint(key, (n, L2), 0, V2)
     variables = lm.init(key, ys, jnp.full((n,), L2))
     c_ref = lm.apply(variables, n, L2, method=lambda m, *a: m.init_cache(*a))
-    c_anc = lm.apply(variables, n, L2, method=lambda m, *a: m.init_cache(*a))
+    c_anc = lm.apply(variables, b, k, L2,
+                     method=lambda m, *a: m.init_cache_group(*a))
     anc = jnp.zeros((n, L2), jnp.int32)
     rng = np.random.RandomState(19)
     for pos in range(1, L2):
