@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--beam", type=int, default=10)
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--lm", action="store_true")
+    ap.add_argument("--protocol", default="anc",
+                    help="beam KV-cache protocol: anc | append")
+    ap.add_argument("--unroll", type=int, default=2)
     ap.add_argument("--out", default="/tmp/beam_profile")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
@@ -53,6 +56,7 @@ def main():
     cfg.inference_conf = dict(
         cfg.inference_conf, beam_size=args.beam, ctc_weight=0.1,
         lm_weight=0.4 if args.lm else 0.0, early_exit=False,
+        cache_protocol=args.protocol, unroll=args.unroll,
     )
     s2t = Speech2Text(cfg, lm_config=lm_cfg)
     d = s2t.device_put_batch(dict(data))

@@ -228,11 +228,14 @@ class MultiHeadedAttention(nn.Module):
         q = q_heads  # (N, H, 1, dk)
         scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
         qg = q[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
-        # (B, H, i, dk) x (B, H, j*t, dk)^T -> logits (B, H, i, j*t)
+        # (B, H, i, dk) x (B, H, j, t, dk) -> logits (B, H, i, j, t): one
+        # dot_general, batch (B, H), rhs free dims (j, t) NOT reshaped
+        # together — merging them crosses the cache's padded tile boundaries
+        # (Lc is not sublane-aligned) and would force a full relayout copy of
+        # every leaf every step
         s = jax.lax.dot_general(
-            qg, k.reshape(b, h, km * lc, dk),
-            (((3,), (3,)), ((0, 1), (0, 1))),
-        ).astype(jnp.float32).reshape(b, h, beam, km, lc) * scale
+            qg, k, (((3,), (4,)), ((0, 1), (0, 1)))
+        ).astype(jnp.float32) * scale  # (B, H, i, j, t)
         ancg = anc[:, :lc].reshape(b, beam, lc)  # (B, i, t)
         valid = (
             ancg[:, None, :, None, :]
@@ -250,10 +253,10 @@ class MultiHeadedAttention(nn.Module):
         p_new = jnp.exp(s_new - m)  # (B, H, i)
         lsum = jnp.sum(p, axis=(3, 4)) + p_new  # (B, H, i)
         w = (p / lsum[..., None, None]).astype(v.dtype)
-        # (B, H, i, j*t) x (B, H, j*t, dk) -> (B, H, i, dk)
+        # (B, H, i, j, t) x (B, H, j, t, dk) -> (B, H, i, dk): contracting
+        # dims (j, t), again with no tile-crossing reshape of the cache
         out = jax.lax.dot_general(
-            w.reshape(b, h, beam, km * lc), v.reshape(b, h, km * lc, dk),
-            (((3,), (2,)), ((0, 1), (0, 1))),
+            w, v, (((3, 4), (2, 3)), ((0, 1), (0, 1)))
         )
         vn = v_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
         out = out + ((p_new / lsum).astype(v.dtype))[..., None] * vn
