@@ -88,15 +88,23 @@ def write_beam_column(x: jnp.ndarray, new_col: jnp.ndarray, pos: jnp.ndarray) ->
     ancestry cache at column ``pos-1`` — no reorder.
 
     The ancestry-cache protocol's only per-step cache write: every slot
-    writes the column it computed (one fused dynamic-update-slice for all
-    N = B*K rows, since they share the same column index), and the ancestry
-    table (``update_ancestry``) records which slot each hypothesis' history
-    column lives in. With no gather consuming the buffer, XLA keeps the
-    update in place inside the beam while-loop. ``new_col`` is the scorer's
-    (N, H, 1, dk) per-row column.
+    writes the column it computed, and the ancestry table
+    (``update_ancestry``) records which slot each hypothesis' history column
+    lives in. ``new_col`` is the scorer's (N, H, 1, dk) per-row column.
+
+    On TPU the write is a Pallas DMA into the aliased cache buffer
+    (ops/cache_update.py): XLA's dynamic-update-slice lowers this
+    column write to a scalarized strided scatter measured at ~709 us per
+    32 MB leaf — slower than copying the whole buffer — and with ~44 cache
+    leaves per flagship decode step that scatter dominated the entire beam
+    loop (scripts/bench_cache_write.py). On CPU (tests) the DUS is fine.
     """
     b, h, km, lc, dk = x.shape
     upd = new_col[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
+    if jax.devices()[0].platform != "cpu":
+        from tailored_avsr_tpu.ops.cache_update import write_cache_column
+
+        return write_cache_column(x, upd, pos - 1)
     return jax.lax.dynamic_update_slice(
         x, upd[:, :, :, None, :].astype(x.dtype), (0, 0, 0, pos - 1, 0)
     )

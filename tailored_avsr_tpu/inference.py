@@ -455,7 +455,12 @@ class Speech2Text:
                         "dec_new": model.decoder.init_cache(
                             n, 1, dtype=enc_out.dtype
                         ),
-                        "anc": jnp.zeros((n, enc_out.shape[1] + 2), jnp.int32),
+                        # width matches the widest group cache's (8-rounded)
+                        # Lc: attend_kv_anc slices anc[:, :Lc]
+                        "anc": jnp.zeros(
+                            (n, -(-(enc_out.shape[1] + 2) // 8) * 8),
+                            jnp.int32,
+                        ),
                     }
                     if fold_lm:
                         att_state["lm"] = lm.apply(

@@ -423,14 +423,18 @@ class TransformerDecoder(_DecoderBase):
         """Group-major (B, H, beam, Lc, dk) per-layer (K, V) tensors for the
         ancestry-cache beam protocol (``score_step_anc``): the beam*Lc
         columns of a group sit contiguously per (batch, head), so the group
-        attend is one dot_general per step and the column write is one fused
-        dynamic-update-slice (``decode.beam_search.write_beam_column``)."""
+        attend is one dot_general per step and the column write is one
+        in-place Pallas block write (``decode.beam_search.write_beam_column``
+        / ``ops.cache_update``). Lc is rounded up to a multiple of 8 so the
+        write kernel's aligned block DMA is always in bounds; the attend
+        masks columns >= pos, so the pad columns are never read as live."""
         d = self.encoder_output_size
         h, dk = self.attention_heads, d // self.attention_heads
+        lc = -(-max_len // 8) * 8
         return [
             (
-                jnp.zeros((b, h, beam, max_len, dk), dtype),
-                jnp.zeros((b, h, beam, max_len, dk), dtype),
+                jnp.zeros((b, h, beam, lc, dk), dtype),
+                jnp.zeros((b, h, beam, lc, dk), dtype),
             )
             for _ in range(self.num_blocks)
         ]

@@ -129,13 +129,15 @@ class TransformerLM(nn.Module):
     def init_cache_group(self, b: int, beam: int, max_len: int,
                          dtype=jnp.float32):
         """Group-major (B, H, beam, Lc, dk) per-layer (K, V) tensors for the
-        ancestry-cache beam protocol (see TransformerDecoder.init_cache_group)."""
+        ancestry-cache beam protocol (see TransformerDecoder.init_cache_group;
+        Lc rounded to a multiple of 8 for the Pallas block-write kernel)."""
         d, h = self.att_unit, self.head
         dk = d // h
+        lc = -(-max_len // 8) * 8
         return [
             (
-                jnp.zeros((b, h, beam, max_len, dk), dtype),
-                jnp.zeros((b, h, beam, max_len, dk), dtype),
+                jnp.zeros((b, h, beam, lc, dk), dtype),
+                jnp.zeros((b, h, beam, lc, dk), dtype),
             )
             for _ in range(self.layer)
         ]

@@ -236,6 +236,13 @@ class MultiHeadedAttention(nn.Module):
         s = jax.lax.dot_general(
             qg, k, (((3,), (4,)), ((0, 1), (0, 1)))
         ).astype(jnp.float32) * scale  # (B, H, i, j, t)
+        if anc.shape[1] < lc:
+            # cache Lc is 8-rounded for the Pallas block write; a narrower
+            # ancestry table means those pad columns were never written —
+            # -1 matches no slot, so they mask out
+            anc = jnp.pad(
+                anc, ((0, 0), (0, lc - anc.shape[1])), constant_values=-1
+            )
         ancg = anc[:, :lc].reshape(b, beam, lc)  # (B, i, t)
         valid = (
             ancg[:, None, :, None, :]

@@ -1,0 +1,78 @@
+"""In-place beam KV-cache column writes (Pallas block read-modify-write).
+
+The ancestry-protocol beam decode (decode/beam_search.py) writes ONE time
+column into every layer's (B, H, K, Lc, dk) KV cache per step. XLA lowers
+that dynamic-update-slice to a pathological scalarized scatter: measured
+709 us per 32 MB leaf inside the decode while-loop — slower than copying the
+whole buffer (287 us) — because the written column is a single sublane in
+each of the cache's (8, 128) tiles (scripts/bench_cache_write.py; a 2-D flat
+DUS of the same bytes takes 22 us). At ~44 cache leaves per flagship decode
+step (16-layer LM + 6-layer decoder, k and v) that scatter IS the decode
+bottleneck: ~30 ms of a 35 ms step.
+
+Mosaic cannot DMA a single column either — slices along a tiled dim must be
+tile-aligned (8 sublanes for bf16/f32 tilings). So this kernel does an
+aligned read-modify-write of the 8-column block containing ``pos``: a
+single-step grid whose BlockSpec index_map (scalar-prefetched ``pos``)
+selects block ``pos // 8`` along Lc; the kernel replaces sublane
+``pos % 8`` with the new column (vector select) and writes the block back.
+With ``input_output_aliases`` the cache buffer is donated, so the blocks the
+grid never touches keep their contents — the write is truly in place, no
+full-leaf copy, no scatter loop. Block traffic is ~2 x B*H*K*8*dk bytes per
+leaf (~5 MB at the flagship shape) instead of a scalarized pass over 32 MB.
+
+The cache layout stays group-major (B, H, K, Lc, dk), which is the layout
+the ancestry attend's dot_generals already stream at full bandwidth
+(ops/attention.py attend_kv_anc). Requires Lc padded to a multiple of 8
+(init_cache_group in models/decoder.py and models/lm.py allocate it so).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLK = 8  # sublane tile along Lc
+
+
+def _rmw_col_kernel(pos_ref, col_ref, cache_blk_ref, out_blk_ref):
+    sub = pos_ref[0] % _BLK  # column's sublane within the selected block
+    off = jax.lax.broadcasted_iota(jnp.int32, out_blk_ref.shape, 3)
+    out_blk_ref[...] = jnp.where(
+        off == sub, col_ref[...], cache_blk_ref[...]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def write_cache_column(
+    cache: jnp.ndarray,  # (B, H, K, Lc, dk) group-major beam cache, Lc % 8 == 0
+    col: jnp.ndarray,  # (B, H, K, dk) this step's column, any float dtype
+    pos: jnp.ndarray,  # scalar int: target time index (column to overwrite)
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """cache[:, :, :, pos, :] = col, in place (cache buffer is aliased)."""
+    b, h, k, lc, dk = cache.shape
+    if lc % _BLK != 0:
+        raise ValueError(f"cache Lc dim must be a multiple of {_BLK}, got {lc}")
+    upd = col.astype(cache.dtype)[:, :, :, None, :]
+    blk_at_pos = lambda i, pos_ref: (0, 0, 0, pos_ref[0] // _BLK, 0)
+    return pl.pallas_call(
+        _rmw_col_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((b, h, k, 1, dk), lambda i, pos_ref: (0, 0, 0, 0, 0)),
+                pl.BlockSpec((b, h, k, _BLK, dk), blk_at_pos),
+            ],
+            out_specs=pl.BlockSpec((b, h, k, _BLK, dk), blk_at_pos),
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1), upd, cache)
