@@ -60,17 +60,21 @@ def write_cache_column(
     if lc % _BLK != 0:
         raise ValueError(f"cache Lc dim must be a multiple of {_BLK}, got {lc}")
     upd = col.astype(cache.dtype)[:, :, :, None, :]
-    blk_at_pos = lambda i, pos_ref: (0, 0, 0, pos_ref[0] // _BLK, 0)
+    # Grid over B: a full-batch block is B*H*K*8*dk*4 bytes (20 MB at the
+    # flagship decode shape), which overflows the 16 MB scoped-VMEM budget
+    # once Mosaic double-buffers it. Per-batch-row blocks are ~160 KB and
+    # the 8-column DMAs pipeline across grid steps.
+    blk_at_pos = lambda i, pos_ref: (i, 0, 0, pos_ref[0] // _BLK, 0)
     return pl.pallas_call(
         _rmw_col_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(1,),
+            grid=(b,),
             in_specs=[
-                pl.BlockSpec((b, h, k, 1, dk), lambda i, pos_ref: (0, 0, 0, 0, 0)),
-                pl.BlockSpec((b, h, k, _BLK, dk), blk_at_pos),
+                pl.BlockSpec((1, h, k, 1, dk), lambda i, pos_ref: (i, 0, 0, 0, 0)),
+                pl.BlockSpec((1, h, k, _BLK, dk), blk_at_pos),
             ],
-            out_specs=pl.BlockSpec((b, h, k, _BLK, dk), blk_at_pos),
+            out_specs=pl.BlockSpec((1, h, k, _BLK, dk), blk_at_pos),
         ),
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         input_output_aliases={2: 0},
