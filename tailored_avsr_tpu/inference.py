@@ -138,6 +138,17 @@ class Speech2Text:
         self.variables = None
         self._ckpt_path = ckpt_path
         self._decode_jit: Dict = {}
+        # activation compute dtype: the model graph follows its INPUT dtype
+        # (modules carry no explicit dtype; flax promotes input x params, so
+        # bf16 params alone leave every matmul f32). _dequantize casts the
+        # float streams to this dtype inside the jit graph — on TPU that
+        # halves activation/KV-cache bytes and doubles MXU rate.
+        self._compute_dtype = (
+            jnp.bfloat16
+            if str(getattr(self.config, "dtype", "float32"))
+            in ("bfloat16", "bf16")
+            else None
+        )
 
     # -- parameter init is lazy: we need a representative batch for shapes
     def ensure_params(self, batch: Dict) -> None:
@@ -218,6 +229,12 @@ class Speech2Text:
         Normalise chain); int16 audio -> x / 32768. Float inputs pass through
         untouched, so the path is a no-op unless the data pipeline opted into
         ``device_normalize``.
+
+        Under ``dtype: bfloat16`` the float streams are then cast to bf16:
+        the model's activation dtype follows its inputs, so this single cast
+        makes the whole encode/decode graph compute in bf16 (frontends
+        re-enter the compute dtype after their internal f32 stages; scoring
+        heads upcast their log-softmaxes back to f32).
         """
         args = list(args)
         for i, a in enumerate(args):
@@ -230,6 +247,10 @@ class Speech2Text:
             elif a.dtype == jnp.int16:
                 x = a.astype(jnp.float32) / 32768.0
             else:
+                if self._compute_dtype is not None and jnp.issubdtype(
+                    a.dtype, jnp.floating
+                ):
+                    args[i] = a.astype(self._compute_dtype)
                 continue
             # pad-value parity with the host float path (ignore_id = -1
             # beyond each utterance, dataloader.py): quantized buffers pad
@@ -237,9 +258,12 @@ class Speech2Text:
             # through the cgMLP/conv boundary differently
             lengths = args[i + 1]  # (tensor, lengths) pairs by convention
             valid = jnp.arange(x.shape[1]) < lengths[:, None]
-            args[i] = jnp.where(
+            x = jnp.where(
                 valid.reshape(valid.shape + (1,) * (x.ndim - 2)), x, -1.0
             )
+            if self._compute_dtype is not None:
+                x = x.astype(self._compute_dtype)
+            args[i] = x
         return tuple(args)
 
     def _build_decode(self, shape_key):

@@ -42,7 +42,9 @@ class CTCHead(nn.Module):
         return jax.nn.softmax(self(x), axis=-1)
 
     def log_softmax(self, x: jnp.ndarray) -> jnp.ndarray:
-        return jax.nn.log_softmax(self(x), axis=-1)
+        # f32 log-probs even in a bf16 graph: these feed the CTC prefix
+        # scorer's log-space DP, which accumulates over hundreds of frames
+        return jax.nn.log_softmax(self(x).astype(jnp.float32), axis=-1)
 
     def argmax(self, x: jnp.ndarray) -> jnp.ndarray:
         return jnp.argmax(self(x), axis=-1)

@@ -45,17 +45,22 @@ class BasicBlock(nn.Module):
                 name=name,
             )
 
+        # BN normalizes in the promoted dtype (f32 while training: running
+        # stats are f32), but hands the block's compute dtype back so a bf16
+        # trunk stays bf16 — at inference all stats are cast with the params
+        # and these astypes are no-ops.
+        dt = x.dtype
         residual = x
         h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, name="conv1")(x)
-        h = bn("bn1")(h)
+        h = bn("bn1")(h).astype(dt)
         h = act(h)
         h = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(h)
-        h = bn("bn2")(h)
+        h = bn("bn2")(h).astype(dt)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, name="downsample_conv")(x)
-            residual = bn("downsample_bn")(residual)
+            residual = bn("downsample_bn")(residual).astype(dt)
         return act(h + residual)
 
 
@@ -127,7 +132,7 @@ class Conv3dResNet18(nn.Module):
             epsilon=1e-5,
             axis_name=self.bn_axis_name if train else None,
             name="frontend3d_bn",
-        )(x)
+        )(x).astype(video.dtype)  # keep the trunk in the input compute dtype
         x = act(x)
         # MaxPool3d k=(1,3,3) s=(1,2,2) pad=(0,1,1): pool over H, W only
         x = nn.max_pool(

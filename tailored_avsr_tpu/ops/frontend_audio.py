@@ -115,7 +115,10 @@ class LogMelFrontend(nn.Module):
         mel = jnp.maximum(power @ mel_mat, self.log_floor)
         logmel = jnp.log(mel)
         out_lens = stft_num_frames(lengths, self.hop_length).astype(jnp.int32)
-        return logmel, out_lens
+        # The FFT chain runs f32 regardless of input dtype; hand the compute
+        # dtype (= the input dtype) back to the encoder so a bf16 graph stays
+        # bf16 downstream of the frontend.
+        return logmel.astype(speech.dtype), out_lens
 
 
 class SlidingWindowFrontend(nn.Module):
@@ -136,7 +139,7 @@ class SlidingWindowFrontend(nn.Module):
             jnp.arange(n_frames, dtype=jnp.int32)[:, None] * self.hop_length
             + jnp.arange(self.win_length, dtype=jnp.int32)[None, :]
         )
-        frames = speech.astype(jnp.float32)[:, idx]
+        frames = speech[:, idx]  # pure gather: keeps the input compute dtype
         out_lens = jnp.maximum(
             1 + (lengths - self.win_length) // self.hop_length, 0
         ).astype(jnp.int32)

@@ -50,6 +50,10 @@ class GlobalMVN(nn.Module):
             "stats", "std", lambda: jnp.ones((self.feature_size,), jnp.float32)
         ).value
         mask = make_valid_mask(lengths, x.shape[1])[..., None].astype(x.dtype)
+        # stats buffers are f32; normalize in the input's compute dtype so a
+        # bf16 graph is not silently promoted back to f32 here
+        mean = mean.astype(x.dtype)
+        std = std.astype(x.dtype)
         if self.norm_means:
             x = (x - mean) * mask
         if self.norm_vars:

@@ -237,3 +237,39 @@ def test_bf16_training_convergence_parity():
     assert f32[-1] < 0.7 * f32[0] and bf16[-1] < 0.7 * bf16[0]
     rel = abs(bf16[-1] - f32[-1]) / abs(f32[-1])
     assert rel < 0.25, (f32[-1], bf16[-1])
+
+
+def test_bf16_activations_propagate():
+    """A bf16 model graph must COMPUTE in bf16, not merely store bf16 params:
+    flax modules here carry no explicit dtype, so the activation dtype follows
+    the inputs — and the ops that internally run f32 (log-mel FFT, MVN stats,
+    BatchNorm with f32 running stats) must hand bf16 back. Regression for the
+    silent f32 promotion that kept the 'bf16' decode graph all-f32
+    (ops/frontend_audio.py, ops/normalize.py, models/frontends.py)."""
+    from tailored_avsr_tpu.ops.frontend_audio import LogMelFrontend
+    from tailored_avsr_tpu.ops.normalize import GlobalMVN
+    from tailored_avsr_tpu.models.frontends import Conv3dResNet18
+
+    key = jax.random.PRNGKey(7)
+    wav = jax.random.normal(key, (2, 3200), jnp.bfloat16)
+    fe = LogMelFrontend()
+    feats, flens = fe.apply(fe.init(key, wav, jnp.array([3200, 1600])),
+                            wav, jnp.array([3200, 1600]))
+    assert feats.dtype == jnp.bfloat16
+
+    mvn = GlobalMVN(feature_size=80)
+    v = mvn.init(key, feats, flens)
+    y, _ = mvn.apply(v, feats, flens)
+    assert y.dtype == jnp.bfloat16
+    # the stats buffers themselves stay f32
+    assert v["stats"]["mean"].dtype == jnp.float32
+
+    vid = jax.random.normal(key, (1, 2, 24, 24), jnp.bfloat16)
+    vf = Conv3dResNet18()
+    vv = vf.init(key, vid, jnp.array([2]), train=False)
+    out, _ = vf.apply(vv, vid, jnp.array([2]), train=False)
+    assert out.dtype == jnp.bfloat16  # f32 BN stats must not leak out
+    # training mode too (batch stats computed in f32, output cast back)
+    out_t, _ = vf.apply(vv, vid, jnp.array([2]), train=True,
+                        mutable=["batch_stats"])[0]
+    assert out_t.dtype == jnp.bfloat16
