@@ -21,6 +21,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoints", nargs="*", default=[])
     p.add_argument("--exp-dir", default="", help="experiment dir with val_stats.csv")
+    p.add_argument("--val-accs", default="",
+                   help="val_accs.csv from scripts/get_val_accs.py (the "
+                        "reference avg_maskctc.py protocol: sort by (wer, "
+                        "cer), average the top-K model_check_path entries)")
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--metric", default="cer")
     p.add_argument("--output", required=True)
@@ -29,6 +33,11 @@ def main(argv=None):
     from tailored_avsr_tpu.train.checkpoint import average_models, load_model, save_model
 
     paths = list(args.checkpoints)
+    if args.val_accs:
+        with open(args.val_accs) as f:
+            rows = list(csv.DictReader(f))
+        rows.sort(key=lambda r: (float(r["wer"]), float(r["cer"])))
+        paths += [r["model_check_path"] for r in rows[: args.top_k]]
     if args.exp_dir:
         from tailored_avsr_tpu.train.checkpoint import top_k_epochs
 

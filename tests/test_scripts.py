@@ -102,3 +102,69 @@ def test_average_model_cli(tmp_path):
 
     avg = flax.serialization.msgpack_restore(open(out, "rb").read())
     np.testing.assert_allclose(avg["params"]["w"], 2 * np.ones(3))
+
+
+def test_get_val_accs_and_val_accs_averaging(corpus, tmp_path):
+    """get_val_accs.py decodes every epoch checkpoint and ranks them; the
+    resulting CSV drives average_model.py --val-accs (the reference's
+    avg_maskctc.py top-K-by-decoded-WER protocol)."""
+    import importlib
+
+    from tailored_avsr_tpu.data import (
+        AVSRDataLoader,
+        AVSRDataset,
+        get_tokenizer_converter,
+    )
+    from tailored_avsr_tpu.inference import Speech2Text
+    from tailored_avsr_tpu.train.checkpoint import save_model
+    from tailored_avsr_tpu.utils import load_config
+
+    csv_path, token_path = corpus
+    cfg = write_tiny_config(tmp_path, token_path)
+    config = load_config(cfg)
+
+    # synthesize two "epoch" checkpoints with the exact variable tree the
+    # inference engine builds (ensure_params on one real batch)
+    tokenizer, converter = get_tokenizer_converter(config)
+    ds = AVSRDataset(csv_path, task=config.task, is_training=False)
+    loader = AVSRDataLoader(
+        ds, 2, task=config.task,
+        tokenizer=tokenizer, converter=converter, is_training=False,
+    )
+    s2t = Speech2Text(config)
+    s2t.ensure_params(next(iter(loader)))
+    exp = tmp_path / "exp" / "models"
+    for e in (1, 2):
+        save_model(s2t.variables, str(exp / f"model_{e:03d}.ckpt"))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
+    gva = importlib.import_module("get_val_accs")
+    out = tmp_path / "va"
+    rows = gva.main([
+        "--config-file", cfg,
+        "--validation-dataset", csv_path,
+        "--exp-dir", str(tmp_path / "exp"),
+        "--output-dir", str(out),
+    ])
+    assert len(rows) == 2 and {r["epoch"] for r in rows} == {1, 2}
+    assert os.path.exists(out / "val_accs.csv")
+    assert os.path.exists(out / "inferences" / "val_001.inf")
+    assert os.path.exists(out / "inferences" / "val_002.wer")
+
+    am = importlib.import_module("average_model")
+    avg_out = str(tmp_path / "avg.ckpt")
+    am.main(["--val-accs", str(out / "val_accs.csv"), "--top-k", "2",
+             "--output", avg_out])
+    import flax.serialization
+    import numpy as np
+
+    avg = flax.serialization.msgpack_restore(open(avg_out, "rb").read())
+    leaf = next(
+        x for x in __import__("jax").tree_util.tree_leaves(avg)
+        if hasattr(x, "dtype") and x.dtype == np.float32
+    )
+    ref = next(
+        x for x in __import__("jax").tree_util.tree_leaves(s2t.variables)
+        if hasattr(x, "dtype") and x.dtype == np.float32
+    )
+    np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref), rtol=1e-6)
