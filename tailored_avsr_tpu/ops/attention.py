@@ -18,6 +18,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -25,6 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from tailored_avsr_tpu.ops.masking import MASK_MIN
+
+# ancestry-beam group attend: fused Pallas kernel on TPU (see attend_kv_anc).
+# Env opt-out (TAVSR_FUSED_GROUP_ATTEND=0) exists for A/B benchmarking only.
+_FUSED_GROUP_ATTEND = os.environ.get("TAVSR_FUSED_GROUP_ATTEND", "1") != "0"
 
 
 def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -228,6 +233,27 @@ class MultiHeadedAttention(nn.Module):
         q = q_heads  # (N, H, 1, dk)
         scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
         qg = q[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
+        if jax.devices()[0].platform != "cpu" and _FUSED_GROUP_ATTEND:
+            # Pallas fused path (ops/group_attend.py): the (B, H, i, j, t)
+            # logits/probs tensors below are materialized to HBM by XLA —
+            # ~6-9 GB/step at the flagship decode shape, several x the cache
+            # bytes — while the kernel keeps them in VMEM and reads only the
+            # cache (the roofline floor).
+            from tailored_avsr_tpu.ops.group_attend import group_attend_anc
+
+            if anc.shape[1] < lc:
+                anc = jnp.pad(
+                    anc, ((0, 0), (0, lc - anc.shape[1])), constant_values=-1
+                )
+            out = group_attend_anc(
+                k, v, qg,
+                k_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),
+                v_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),
+                anc[:, :lc].reshape(b, beam, lc), pos,
+            )  # (B, H, i, dk)
+            d = h * dk
+            out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)
+            return self.linear_out(out)
         # (B, H, i, dk) x (B, H, j, t, dk) -> logits (B, H, i, j, t): one
         # dot_general, batch (B, H), rhs free dims (j, t) NOT reshaped
         # together — merging them crosses the cache's padded tile boundaries

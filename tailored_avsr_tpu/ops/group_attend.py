@@ -1,0 +1,128 @@
+"""Pallas TPU fused ancestry-group attention for beam decoding.
+
+``MultiHeadedAttention.attend_kv_anc`` (ops/attention.py) scores every beam
+hypothesis against all ``beam * Lc`` columns of its group's never-reordered KV
+cache with a one-hot ancestry mask. As two XLA ``dot_general``s that path
+materializes the (B, H, beam, beam, Lc) logits AND the probabilities tensor in
+HBM every step — at the flagship decode shape (batch 32, beam 10, Lc 104,
+22 cached layers) that is ~6-9 GB/step of pure softmax-intermediate traffic,
+several times the KV cache bytes actually being attended over, and it does not
+shrink with bf16 caches (the logits are f32).
+
+This kernel is the flash-attention treatment of that group attend: one grid
+step per batch row streams the (H, K, Lc, dk) K and V blocks through VMEM,
+computes logits + ancestry mask + softmax + value matmul entirely on-chip, and
+writes only the (H, K, dk) output — HBM traffic collapses to the cache bytes
+(the roofline floor). No online-softmax pass structure is needed: one beam
+group's whole K block (~1 MB bf16) fits VMEM comfortably.
+
+Layout notes (Mosaic):
+- the (1, H, K, Lc, dk) block keeps the cache's native group-major tiling
+  ((Lc, dk) minor, Lc 8-aligned by ``init_cache_group``); collapsing (K, Lc)
+  into one sublane axis for the MXU is a free leading-dim reshape.
+- the ancestry mask is built per j in K static pieces and concatenated on the
+  lane axis — no vector integer div/mod.
+- the new (self) column is folded in after the cache matmuls, exactly like the
+  XLA path: its logit joins the running max and the normalizer.
+
+Numerics match ``attend_kv_anc`` up to one deliberate improvement: the QK^T
+products accumulate in f32 on the MXU (``preferred_element_type``) where the
+XLA path's einsum rounds through bf16 before its upcast. Validated against the
+XLA path in tests/test_group_attend.py (exact for f32 inputs).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tailored_avsr_tpu.ops.masking import MASK_MIN
+
+
+def _group_attend_kernel(
+    pos_ref,  # scalar prefetch: (1,) int32
+    q_ref,  # (1, H, K, dk)
+    knew_ref,  # (1, H, K, dk)
+    vnew_ref,  # (1, H, K, dk)
+    anc_ref,  # (1, K, Lc) int32
+    k_ref,  # (1, H, K, Lc, dk)
+    v_ref,  # (1, H, K, Lc, dk)
+    out_ref,  # (1, H, K, dk)
+    *,
+    scale: float,
+):
+    _, h, km, lc, dk = k_ref.shape
+    anc = anc_ref[0]  # (K, Lc)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (km, lc), 1)
+    live = tt < pos_ref[0] - 1
+    # valid[i, j*Lc + t] = (anc[i, t] == j) & live[i, t]; j unrolled statically
+    valid = jnp.concatenate(
+        [(anc == j) & live for j in range(km)], axis=1
+    )  # (K, K*Lc) bool
+    for hi in range(h):
+        q = q_ref[0, hi]  # (K, dk)
+        k2 = k_ref[0, hi].reshape(km * lc, dk)
+        s = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (K, K*Lc)
+        s = jnp.where(valid, s, MASK_MIN)
+        s_new = jnp.sum(
+            q.astype(jnp.float32) * knew_ref[0, hi].astype(jnp.float32),
+            axis=1, keepdims=True,
+        ) * scale  # (K, 1)
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_new)
+        p = jnp.exp(s - m) * valid  # (K, K*Lc) f32
+        p_new = jnp.exp(s_new - m)  # (K, 1)
+        lsum = jnp.sum(p, axis=1, keepdims=True) + p_new
+        w = (p / lsum).astype(v_ref.dtype)
+        v2 = v_ref[0, hi].reshape(km * lc, dk)
+        o = jax.lax.dot_general(
+            w, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, dk)
+        o = o + (p_new / lsum) * vnew_ref[0, hi].astype(jnp.float32)
+        out_ref[0, hi] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def group_attend_anc(
+    k: jnp.ndarray,  # (B, H, K, Lc, dk) group-major cached keys
+    v: jnp.ndarray,  # (B, H, K, Lc, dk) group-major cached values
+    q: jnp.ndarray,  # (B, H, K, dk) query heads (group-major)
+    k_new: jnp.ndarray,  # (B, H, K, dk) this step's key column
+    v_new: jnp.ndarray,  # (B, H, K, dk) this step's value column
+    anc: jnp.ndarray,  # (B, K, Lc) int32 ancestry (pad columns = -1)
+    pos: jnp.ndarray,  # scalar: cache columns < pos-1 are live
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused group attend; returns (B, H, K, dk) in ``v.dtype``."""
+    b, h, km, lc, dk = k.shape
+    scale = 1.0 / math.sqrt(dk)
+    row3 = lambda i, pos_ref: (i, 0, 0)
+    row = lambda i, pos_ref: (i, 0, 0, 0)
+    row5 = lambda i, pos_ref: (i, 0, 0, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_group_attend_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, km, dk), row),
+                pl.BlockSpec((1, h, km, dk), row),
+                pl.BlockSpec((1, h, km, dk), row),
+                pl.BlockSpec((1, km, lc), row3),
+                pl.BlockSpec((1, h, km, lc, dk), row5),
+                pl.BlockSpec((1, h, km, lc, dk), row5),
+            ],
+            out_specs=pl.BlockSpec((1, h, km, dk), row),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, km, dk), v.dtype),
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1), q, k_new, v_new, anc, k, v)

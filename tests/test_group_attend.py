@@ -1,0 +1,92 @@
+"""Fused ancestry-group-attend kernel (ops/group_attend.py): parity with the
+XLA formulation in MultiHeadedAttention.attend_kv_anc (interpret mode on CPU;
+the real kernel runs inside the TPU beam decode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tailored_avsr_tpu.ops.group_attend import group_attend_anc
+from tailored_avsr_tpu.ops.masking import MASK_MIN
+
+
+def ref_group_attend(k, v, q, k_new, v_new, anc, pos):
+    """NumPy twin of the attend_kv_anc group math (f64 for a stable oracle)."""
+    b, h, km, lc, dk = k.shape
+    f = np.float64
+    k, v, q, k_new, v_new = (np.asarray(x, f) for x in (k, v, q, k_new, v_new))
+    scale = 1.0 / np.sqrt(dk)
+    s = np.einsum("bhid,bhjtd->bhijt", q, k) * scale
+    valid = (
+        np.asarray(anc)[:, None, :, None, :]
+        == np.arange(km)[None, None, None, :, None]
+    ) & (np.arange(lc) < pos - 1)[None, None, None, None, :]
+    s = np.where(valid, s, MASK_MIN)
+    s_new = np.einsum("bhid,bhid->bhi", q, k_new) * scale
+    m = np.maximum(s.max(axis=(3, 4)), s_new)
+    p = np.exp(s - m[..., None, None]) * valid
+    p_new = np.exp(s_new - m)
+    lsum = p.sum(axis=(3, 4)) + p_new
+    out = np.einsum("bhijt,bhjtd->bhid", p / lsum[..., None, None], v)
+    return out + (p_new / lsum)[..., None] * v_new
+
+
+def make_case(rng, b, h, km, lc, dk, pos, dtype=jnp.float32):
+    k = jnp.asarray(rng.randn(b, h, km, lc, dk), dtype)
+    v = jnp.asarray(rng.randn(b, h, km, lc, dk), dtype)
+    q = jnp.asarray(rng.randn(b, h, km, dk), dtype)
+    k_new = jnp.asarray(rng.randn(b, h, km, dk), dtype)
+    v_new = jnp.asarray(rng.randn(b, h, km, dk), dtype)
+    # live columns carry a real slot id; everything else is poisoned with -1
+    anc = np.full((b, km, lc), -1, np.int32)
+    anc[:, :, : max(pos - 1, 0)] = rng.randint(0, km, (b, km, max(pos - 1, 0)))
+    return k, v, q, k_new, v_new, jnp.asarray(anc)
+
+
+def test_matches_reference_over_positions():
+    rng = np.random.RandomState(0)
+    b, h, km, lc, dk = 2, 3, 4, 16, 8
+    for pos in [1, 2, 7, 15, 16]:
+        k, v, q, k_new, v_new, anc = make_case(rng, b, h, km, lc, dk, pos)
+        got = group_attend_anc(k, v, q, k_new, v_new, anc, pos, interpret=True)
+        want = ref_group_attend(k, v, q, k_new, v_new, anc, pos)
+        assert got.shape == (b, h, km, dk) and got.dtype == v.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float64), want, rtol=1e-5, atol=1e-6
+        )
+
+
+def test_first_step_attends_only_self():
+    """pos=1: no live history — the output must be exactly v_new."""
+    rng = np.random.RandomState(1)
+    k, v, q, k_new, v_new, anc = make_case(rng, 1, 2, 3, 8, 4, pos=1)
+    got = group_attend_anc(k, v, q, k_new, v_new, anc, 1, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(v_new), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_bf16_inputs():
+    rng = np.random.RandomState(2)
+    b, h, km, lc, dk = 2, 2, 3, 24, 16
+    pos = 13
+    k, v, q, k_new, v_new, anc = make_case(
+        rng, b, h, km, lc, dk, pos, dtype=jnp.bfloat16
+    )
+    got = group_attend_anc(k, v, q, k_new, v_new, anc, pos, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = ref_group_attend(k, v, q, k_new, v_new, anc, pos)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float64), want, rtol=0.05, atol=0.05
+    )
+
+
+def test_flagship_shape_smoke():
+    """The exact flagship decode shapes (decoder layer + LM layer)."""
+    rng = np.random.RandomState(3)
+    for h in (4, 8):  # decoder heads / LM heads
+        k, v, q, k_new, v_new, anc = make_case(rng, 2, h, 10, 104, 64, pos=52)
+        got = group_attend_anc(k, v, q, k_new, v_new, anc, 52, interpret=True)
+        want = ref_group_attend(k, v, q, k_new, v_new, anc, 52)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float64), want, rtol=1e-4, atol=1e-5
+        )
