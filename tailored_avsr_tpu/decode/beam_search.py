@@ -110,6 +110,37 @@ def write_beam_column(x: jnp.ndarray, new_col: jnp.ndarray, pos: jnp.ndarray) ->
     )
 
 
+def write_beam_columns_kv(
+    ck: jnp.ndarray,  # (B, H, K, Lc, dk) key cache
+    cv: jnp.ndarray,  # (B, H, K, Lc, dk) value cache
+    k_new: jnp.ndarray,  # (N, H, 1, dk) this step's key column
+    v_new: jnp.ndarray,  # (N, H, 1, dk) this step's value column
+    pos: jnp.ndarray,
+):
+    """One layer's K and V column writes fused into a single kernel call.
+
+    The per-leaf ``write_beam_column`` kernel is grid-step-overhead bound
+    (~31 us/leaf vs <1 us of 8-column DMA), and the flagship decode step has
+    44 leaves; pairing k/v and gridding several batch rows per step
+    (ops/cache_update.py write_cache_columns_kv) cuts that overhead ~8x.
+    """
+    b, h, km, lc, dk = ck.shape
+    ku = k_new[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
+    vu = v_new[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
+    if jax.devices()[0].platform != "cpu":
+        from tailored_avsr_tpu.ops.cache_update import write_cache_columns_kv
+
+        return write_cache_columns_kv(ck, cv, ku, vu, pos - 1)
+    return (
+        jax.lax.dynamic_update_slice(
+            ck, ku[:, :, :, None, :].astype(ck.dtype), (0, 0, 0, pos - 1, 0)
+        ),
+        jax.lax.dynamic_update_slice(
+            cv, vu[:, :, :, None, :].astype(cv.dtype), (0, 0, 0, pos - 1, 0)
+        ),
+    )
+
+
 def update_ancestry(
     anc: jnp.ndarray,  # (N, Lc) int32
     g_src: jnp.ndarray,  # (N,) global beam-source rows

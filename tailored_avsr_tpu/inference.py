@@ -468,7 +468,7 @@ class Speech2Text:
                     # the attend read plus one written column per leaf.
                     from tailored_avsr_tpu.decode.beam_search import (
                         update_ancestry,
-                        write_beam_column,
+                        write_beam_columns_kv,
                     )
 
                     att_state = {
@@ -526,8 +526,7 @@ class Speech2Text:
                         src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
                         out = {
                             "dec": [
-                                (write_beam_column(ck, kn, pos),
-                                 write_beam_column(cv, vn, pos))
+                                write_beam_columns_kv(ck, cv, kn, vn, pos)
                                 for (ck, cv), (kn, vn) in zip(
                                     state["dec"], state["dec_new"]
                                 )
@@ -539,8 +538,7 @@ class Speech2Text:
                         }
                         if fold_lm:
                             out["lm"] = [
-                                (write_beam_column(ck, kn, pos),
-                                 write_beam_column(cv, vn, pos))
+                                write_beam_columns_kv(ck, cv, kn, vn, pos)
                                 for (ck, cv), (kn, vn) in zip(
                                     state["lm"], state["lm_new"]
                                 )

@@ -47,6 +47,15 @@ def _rmw_col_kernel(pos_ref, col_ref, cache_blk_ref, out_blk_ref):
     )
 
 
+def _rmw_col_kv_kernel(
+    pos_ref, kcol_ref, vcol_ref, kblk_ref, vblk_ref, kout_ref, vout_ref
+):
+    sub = pos_ref[0] % _BLK
+    off = jax.lax.broadcasted_iota(jnp.int32, kout_ref.shape, 3)
+    kout_ref[...] = jnp.where(off == sub, kcol_ref[...], kblk_ref[...])
+    vout_ref[...] = jnp.where(off == sub, vcol_ref[...], vblk_ref[...])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def write_cache_column(
     cache: jnp.ndarray,  # (B, H, K, Lc, dk) group-major beam cache, Lc % 8 == 0
@@ -80,3 +89,54 @@ def write_cache_column(
         input_output_aliases={2: 0},
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1), upd, cache)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def write_cache_columns_kv(
+    kcache: jnp.ndarray,  # (B, H, K, Lc, dk) group-major key cache, Lc % 8 == 0
+    vcache: jnp.ndarray,  # (B, H, K, Lc, dk) value cache, same shape/dtype
+    kcol: jnp.ndarray,  # (B, H, K, dk) this step's key column
+    vcol: jnp.ndarray,  # (B, H, K, dk) this step's value column
+    pos: jnp.ndarray,  # scalar int: target time index
+    *,
+    interpret: bool = False,
+):
+    """K and V column writes of one layer in ONE kernel (both aliased).
+
+    The decode step writes 44 cache leaves (16-layer LM + 6-layer decoder,
+    k and v); per-leaf ``write_cache_column`` calls are grid-step-overhead
+    bound (~31 us per leaf vs <1 us of block DMA). Pairing k/v halves the
+    call count, and gridding over ``gb`` batch rows per step (largest
+    power-of-2 with the 8-column block under ~1 MB) cuts the per-call grid
+    from B steps to B/gb — measured end to end in scripts/sweep_beam_cost.py.
+    """
+    b, h, k, lc, dk = kcache.shape
+    if lc % _BLK != 0:
+        raise ValueError(f"cache Lc dim must be a multiple of {_BLK}, got {lc}")
+    itemsize = jnp.dtype(kcache.dtype).itemsize
+    row_bytes = h * k * _BLK * dk * itemsize
+    gb = 1
+    while gb * 2 <= b and b % (gb * 2) == 0 and gb * 2 * row_bytes <= (1 << 20):
+        gb *= 2
+    kupd = kcol.astype(kcache.dtype)[:, :, :, None, :]
+    vupd = vcol.astype(vcache.dtype)[:, :, :, None, :]
+    col_spec = pl.BlockSpec((gb, h, k, 1, dk), lambda i, pos_ref: (i, 0, 0, 0, 0))
+    blk_spec = pl.BlockSpec(
+        (gb, h, k, _BLK, dk), lambda i, pos_ref: (i, 0, 0, pos_ref[0] // _BLK, 0)
+    )
+    out = pl.pallas_call(
+        _rmw_col_kv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // gb,),
+            in_specs=[col_spec, col_spec, blk_spec, blk_spec],
+            out_specs=[blk_spec, blk_spec],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(kcache.shape, kcache.dtype),
+            jax.ShapeDtypeStruct(vcache.shape, vcache.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1), kupd, vupd, kcache, vcache)
+    return out[0], out[1]

@@ -41,3 +41,48 @@ def test_write_cache_column_rejects_unpadded_lc():
         assert "multiple of 8" in str(e)
     else:
         raise AssertionError("expected ValueError for Lc % 8 != 0")
+
+
+def test_write_cache_columns_kv_matches_single():
+    from tailored_avsr_tpu.ops.cache_update import write_cache_columns_kv
+
+    rng = np.random.RandomState(3)
+    # batch sizes exercising gb grouping (power-of-2 split) and odd batches
+    for b in (1, 2, 4, 6, 32):
+        h, k, lc, dk = 2, 3, 16, 8
+        ck = jnp.asarray(rng.randn(b, h, k, lc, dk), jnp.float32)
+        cv = jnp.asarray(rng.randn(b, h, k, lc, dk), jnp.float32)
+        for pos in (0, 7, 8, 15):
+            kc = jnp.asarray(rng.randn(b, h, k, dk), jnp.float32)
+            vc = jnp.asarray(rng.randn(b, h, k, dk), jnp.float32)
+            gk, gv = write_cache_columns_kv(ck, cv, kc, vc, pos, interpret=True)
+            np.testing.assert_array_equal(
+                np.asarray(gk), np.asarray(ck.at[:, :, :, pos, :].set(kc))
+            )
+            np.testing.assert_array_equal(
+                np.asarray(gv), np.asarray(cv.at[:, :, :, pos, :].set(vc))
+            )
+            ck, cv = gk, gv
+
+
+def test_write_beam_columns_kv_dispatch_cpu():
+    """CPU path of the beam-loop wrapper (DUS twin of the kernel)."""
+    from tailored_avsr_tpu.decode.beam_search import write_beam_columns_kv
+
+    rng = np.random.RandomState(4)
+    b, h, km, lc, dk = 2, 2, 3, 8, 4
+    n = b * km
+    ck = jnp.asarray(rng.randn(b, h, km, lc, dk), jnp.float32)
+    cv = jnp.asarray(rng.randn(b, h, km, lc, dk), jnp.float32)
+    kn = jnp.asarray(rng.randn(n, h, 1, dk), jnp.float32)
+    vn = jnp.asarray(rng.randn(n, h, 1, dk), jnp.float32)
+    pos = 5
+    gk, gv = write_beam_columns_kv(ck, cv, kn, vn, pos)
+    ku = np.asarray(kn)[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
+    vu = np.asarray(vn)[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
+    np.testing.assert_array_equal(
+        np.asarray(gk), np.asarray(ck.at[:, :, :, pos - 1, :].set(ku))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gv), np.asarray(cv.at[:, :, :, pos - 1, :].set(vu))
+    )
