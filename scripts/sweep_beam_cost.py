@@ -77,6 +77,9 @@ def main():
                 "batch": b, "protocol": args.protocol, "unroll": args.unroll,
                 "variant": variant, "ms": round(dt * 1e3, 1),
                 "rtf": round(secs / dt, 1),
+                # the full loop runs ~one step per encoder frame (early_exit
+                # off); approximate per-step cost for bisection notes
+                "ms_per_step": round(dt * 1e3 / frames, 2),
             }
             if lm_on:  # params are lazily initialized by the first decode
                 line["lm_param_dtypes"] = sorted({

@@ -181,6 +181,17 @@ class BeamSearchConfig:
     # Result-exact: the at-most-one extra step past the stop condition cannot
     # change the returned n-best (see the note above ``cond`` in beam_search).
     unroll: int = 2
+    # Phased attend widths (ancestry protocol): run the loop as consecutive
+    # while_loops where steps i < w attend only cache columns [0, w) — the
+    # fused group-attend kernel's BlockSpec narrows, so early steps read only
+    # the live prefix of the cache instead of all Lc columns (~2x less attend
+    # traffic on average). Entries <= 1 are fractions of the max decode
+    # length, > 1 absolute column counts; each is rounded up to a multiple of
+    # 8 (kernel tile). Exact search: columns >= pos-1 are masked dead in
+    # every formulation and a phase only covers steps whose live prefix fits
+    # its width, so only f32 reduction-order noise differs
+    # (tests/test_kv_cache.py asserts identical n-best hypotheses).
+    phase_widths: tuple = ()
 
 
 class BeamSearchResult(NamedTuple):
@@ -200,6 +211,7 @@ def beam_search(
     blank_id: int = 0,
     att_state: Optional[object] = None,
     att_gather_fn: Optional[Callable] = None,
+    att_fn_for_width: Optional[Callable] = None,
 ) -> BeamSearchResult:
     """att_score_fn(ys (N, L+2), pos scalar) -> (N, V) step log-probs.
 
@@ -260,14 +272,14 @@ def beam_search(
 
     stateful = att_state is not None
 
-    def step(carry):
+    def step(carry, score_fn=att_score_fn):
         i, ys, scores, ctc_state, att_st, fin_tokens, fin_scores, fin_lengths = carry
         pos = i + 1  # position being generated
         ys_flat = ys.reshape(n, lmax + 2)
         if stateful:
-            att_logp, att_st = att_score_fn(ys_flat, jnp.asarray(pos), att_st)
+            att_logp, att_st = score_fn(ys_flat, jnp.asarray(pos), att_st)
         else:
-            att_logp = att_score_fn(ys_flat, jnp.asarray(pos))  # (N, V)
+            att_logp = score_fn(ys_flat, jnp.asarray(pos))  # (N, V)
         # with att_w == 0 (pure-CTC decoding) the weighted scores would be
         # constant and top_k would pick tokens 0..P-1 by tie-break; use the
         # unweighted decoder posterior for candidate SELECTION only (the
@@ -364,43 +376,67 @@ def beam_search(
 
     nbest = min(config.nbest, k)
 
-    def cond(carry):
-        # EXACT early termination: every per-step score delta is a log-prob
-        # (<= 0) plus the length penalty, so an alive hypothesis can gain at
-        # most max(0, penalty) per remaining step. Once even the best alive
-        # hypothesis' upper bound cannot displace the nbest-th finished score
-        # for ANY utterance, running further steps cannot change the result.
-        #
-        # With unroll=2 the body may run ONE step past the point where cond
-        # turns false; that step is result-inert in both stopping cases:
-        # - past lmax: every utterance's force-eos gate fired by maxlen-1, so
-        #   each utterance already holds K genuinely-finished hypotheses with
-        #   ordinary-magnitude scores, while post-force alive scores are
-        #   clamped to exactly NEG_INF — any further candidate scores at most
-        #   NEG_INF + penalty and cannot displace the K real entries;
-        # - early-exit: the upper-bound argument above covers one more step
-        #   (candidates score <= bound <= nbest-th finished), and exact ties
-        #   keep the OLD entry (finished buffer comes first in the top-k
-        #   merge, lax.top_k prefers the lower index).
-        i, _, scores, _, _, _, fin_scores, _ = carry
-        if not config.early_exit:
-            return i < lmax
-        pen = max(config.penalty, 0.0)
-        steps_left = jnp.maximum(maxlen - i, 0).astype(scores.dtype)  # (B,)
-        bound = jnp.max(scores, axis=1) + steps_left * pen  # (B,)
-        thresh = fin_scores[:, nbest - 1]  # nbest-th best finished so far
-        return (i < lmax) & ~jnp.all(bound <= thresh)
+    # EXACT early termination: every per-step score delta is a log-prob
+    # (<= 0) plus the length penalty, so an alive hypothesis can gain at
+    # most max(0, penalty) per remaining step. Once even the best alive
+    # hypothesis' upper bound cannot displace the nbest-th finished score
+    # for ANY utterance, running further steps cannot change the result.
+    #
+    # With unroll=2 the body may run ONE step past the point where cond
+    # turns false; that step is result-inert in both stopping cases:
+    # - past lmax: every utterance's force-eos gate fired by maxlen-1, so
+    #   each utterance already holds K genuinely-finished hypotheses with
+    #   ordinary-magnitude scores, while post-force alive scores are
+    #   clamped to exactly NEG_INF — any further candidate scores at most
+    #   NEG_INF + penalty and cannot displace the K real entries;
+    # - early-exit: the upper-bound argument above covers one more step
+    #   (candidates score <= bound <= nbest-th finished), and exact ties
+    #   keep the OLD entry (finished buffer comes first in the top-k
+    #   merge, lax.top_k prefers the lower index).
+    # With phased widths the same cond runs per phase with hi = the phase
+    # boundary instead of lmax.
+    def make_cond(hi):
+        def cond(carry):
+            i, _, scores, _, _, _, fin_scores, _ = carry
+            if not config.early_exit:
+                return i < hi
+            pen = max(config.penalty, 0.0)
+            steps_left = jnp.maximum(maxlen - i, 0).astype(scores.dtype)  # (B,)
+            bound = jnp.max(scores, axis=1) + steps_left * pen  # (B,)
+            thresh = fin_scores[:, nbest - 1]  # nbest-th best finished so far
+            return (i < hi) & ~jnp.all(bound <= thresh)
+        return cond
 
     carry = (jnp.asarray(0, jnp.int32), ys, scores, ctc_state, att_state,
              fin_tokens, fin_scores, fin_lengths)
     unroll = max(1, min(int(config.unroll), 2))  # >2 would overrun ys (L+2)
 
-    def body(carry):
-        for _ in range(unroll):
-            carry = step(carry)
-        return carry
+    def make_body(score_fn):
+        def body(carry):
+            for _ in range(unroll):
+                carry = step(carry, score_fn)
+            return carry
+        return body
 
-    carry = jax.lax.while_loop(cond, body, carry)
+    # Phased attend widths: steps i in [0, w) only ever have a live cache
+    # prefix of w-1 columns (pos-1 <= i+1 <= w even with the unroll-2
+    # overshoot), so attending columns [0, w) is exact. Each phase is its own
+    # while_loop over the SAME carry; the early-exit condition composes, so a
+    # search finished in phase 1 no-ops through the rest.
+    phases = []
+    if config.phase_widths and stateful and att_fn_for_width is not None:
+        prev = 0
+        for w in config.phase_widths:
+            w = int(w * lmax) if 0 < w <= 1 else int(w)
+            w = -(-w // 8) * 8  # kernel tile
+            if prev < w < lmax:
+                phases.append(w)
+                prev = w
+    for w in phases:
+        carry = jax.lax.while_loop(
+            make_cond(w), make_body(att_fn_for_width(w)), carry
+        )
+    carry = jax.lax.while_loop(make_cond(lmax), make_body(att_score_fn), carry)
     _, _, _, _, _, fin_tokens, fin_scores, fin_lengths = carry
     best_scores, best_idx = jax.lax.top_k(fin_scores, nbest)
     batch_idx = jnp.arange(b)[:, None]

@@ -70,6 +70,9 @@ class Speech2Text:
             nbest=int(inf.get("nbest", 1)),
             early_exit=bool(inf.get("early_exit", True)),
             unroll=int(inf.get("unroll", 2)),
+            # phased attend widths for the ancestry protocol (fractions of
+            # the max decode length or absolute columns; see BeamSearchConfig)
+            phase_widths=tuple(inf.get("phase_widths", ()) or ()),
         )
         self.maskctc_n_iterations = int(inf.get("maskctc_n_iterations", 10))
         self.maskctc_threshold = float(inf.get("maskctc_threshold_probability", 0.999))
@@ -400,6 +403,7 @@ class Speech2Text:
             mem_mask = make_valid_mask(enc_lens, enc_out.shape[1])
             k = cfg.beam_size
             n = enc_out.shape[0] * k
+            att_w_factory = None  # set by the ancestry protocol (phased widths)
             use_cache = (
                 getattr(model.decoder, "layer_variant", None) == "transformer"
             )
@@ -501,26 +505,37 @@ class Speech2Text:
                         )
                         lm_scale = cfg.lm_weight / att_w
 
-                    def att_fn(ys, pos, state):
-                        lp, dec_new = model.apply(
-                            variables, mem_kv_b, mem_mask, ys, pos,
-                            state["dec"], state["anc"], cfg.beam_size,
-                            method=lambda m, *a: m.decoder.score_step_anc(*a),
-                        )
-                        out = dict(state)
-                        out["dec_new"] = cast_kv(dec_new)
-                        if fold_lm:
-                            lm_lp, lm_new = lm.apply(
-                                lmv, ys, pos, state["lm"], state["anc"],
-                                cfg.beam_size, method="score_step_anc",
+                    def att_fn_for_width(width):
+                        # width=None: full-Lc attend. A static width narrows
+                        # the fused group-attend kernel's K/V BlockSpecs to
+                        # columns [0, width) — early beam phases read only
+                        # the live cache prefix (BeamSearchConfig.phase_widths)
+                        def att_fn(ys, pos, state):
+                            lp, dec_new = model.apply(
+                                variables, mem_kv_b, mem_mask, ys, pos,
+                                state["dec"], state["anc"], cfg.beam_size,
+                                width,
+                                method=lambda m, *a: m.decoder.score_step_anc(*a),
                             )
-                            if ngram is not None and ngram_w > 0:
-                                lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
-                                    ngram.score_step(ys, pos)
+                            out = dict(state)
+                            out["dec_new"] = cast_kv(dec_new)
+                            if fold_lm:
+                                lm_lp, lm_new = lm.apply(
+                                    lmv, ys, pos, state["lm"], state["anc"],
+                                    cfg.beam_size, width,
+                                    method="score_step_anc",
                                 )
-                            lp = lp + lm_scale * lm_lp
-                            out["lm_new"] = cast_kv(lm_new)
-                        return lp, out
+                                if ngram is not None and ngram_w > 0:
+                                    lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
+                                        ngram.score_step(ys, pos)
+                                    )
+                                lp = lp + lm_scale * lm_lp
+                                out["lm_new"] = cast_kv(lm_new)
+                            return lp, out
+                        return att_fn
+
+                    att_fn = att_fn_for_width(None)
+                    att_w_factory = att_fn_for_width
 
                     def att_gather_fn(state, g_src, pos):
                         src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
@@ -697,6 +712,7 @@ class Speech2Text:
                 att_fn, ctc_logp, enc_lens, model.sos, model.eos, cfg,
                 lm_score_fn=lm_fn, att_state=att_state,
                 att_gather_fn=att_gather_fn,
+                att_fn_for_width=att_w_factory,
             )
             return res.tokens, res.lengths, res.scores
 

@@ -626,6 +626,7 @@ class TransformerDecoder(_DecoderBase):
         cache,  # list of per-layer (K, V) self-attention caches (unordered)
         anc: jnp.ndarray,  # (N, >=Lc) int32 ancestry table
         beam: int,
+        width: int | None = None,  # static: attend cache columns [0, width)
     ):
         """Ancestry-cache beam-step scorer: ((N, V) log-probs, new_kv).
 
@@ -650,7 +651,7 @@ class TransformerDecoder(_DecoderBase):
             h = layer.norm1(x)
             q, k_new, v_new = layer.self_attn.project_qkv(h)  # (N, H, 1, dk)
             x = x + layer.self_attn.attend_kv_anc(
-                ck, cv, k_new, v_new, anc, pos, beam, q
+                ck, cv, k_new, v_new, anc, pos, beam, q, width=width
             )
             h = layer.norm2(x)
             x = x + layer.src_attn.attend_kv_mem_grouped(

@@ -207,7 +207,8 @@ class TransformerLM(nn.Module):
             new_kv,
         )
 
-    def score_step_anc(self, ys, pos, cache, anc, beam: int):
+    def score_step_anc(self, ys, pos, cache, anc, beam: int,
+                       width: int | None = None):
         """Ancestry-cache beam-step scorer: ((N, V) log-probs, new_kv).
 
         Like ``score_step_append`` but the cache (group-major
@@ -229,7 +230,7 @@ class TransformerLM(nn.Module):
             h = layer.norm1(x)
             q, k_new, v_new = layer.self_attn.project_qkv(h)
             x = x + layer.self_attn.attend_kv_anc(
-                ck, cv, k_new, v_new, anc, pos, beam, q
+                ck, cv, k_new, v_new, anc, pos, beam, q, width=width
             )
             h = layer.norm2(x)
             x = x + layer.feed_forward(h, deterministic=True)

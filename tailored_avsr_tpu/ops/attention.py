@@ -201,6 +201,7 @@ class MultiHeadedAttention(nn.Module):
         pos: jnp.ndarray,  # scalar: cache columns < pos-1 are live
         beam: int,
         q_heads: jnp.ndarray,  # precomputed (N, H, 1, dk) query heads
+        width: int | None = None,  # static: attend only columns [0, width)
     ) -> jnp.ndarray:
         """Single-query attention over an ancestry-indexed beam KV cache.
 
@@ -234,6 +235,7 @@ class MultiHeadedAttention(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
         qg = q[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
         if jax.devices()[0].platform != "cpu" and _FUSED_GROUP_ATTEND:
+            fused_width = width
             # Pallas fused path (ops/group_attend.py): the (B, H, i, j, t)
             # logits/probs tensors below are materialized to HBM by XLA —
             # ~6-9 GB/step at the flagship decode shape, several x the cache
@@ -249,11 +251,16 @@ class MultiHeadedAttention(nn.Module):
                 k, v, qg,
                 k_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),
                 v_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),
-                anc[:, :lc].reshape(b, beam, lc), pos,
+                anc[:, :lc].reshape(b, beam, lc), pos, width=fused_width,
             )  # (B, H, i, dk)
             d = h * dk
             out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)
             return self.linear_out(out)
+        if width is not None and width < lc:
+            # CPU/test twin of the kernel's narrowed BlockSpec: a slice here
+            # (copy) is fine off the hot path; numerics are identical because
+            # columns >= pos-1 are masked dead in both formulations
+            k, v, lc = k[:, :, :, :width], v[:, :, :, :width], width
         # (B, H, i, dk) x (B, H, j, t, dk) -> logits (B, H, i, j, t): one
         # dot_general, batch (B, H), rhs free dims (j, t) NOT reshaped
         # together — merging them crosses the cache's padded tile boundaries

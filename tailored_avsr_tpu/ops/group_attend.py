@@ -90,7 +90,7 @@ def _group_attend_kernel(
         out_ref[0, hi] = o.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("width", "interpret"))
 def group_attend_anc(
     k: jnp.ndarray,  # (B, H, K, Lc, dk) group-major cached keys
     v: jnp.ndarray,  # (B, H, K, Lc, dk) group-major cached values
@@ -100,10 +100,22 @@ def group_attend_anc(
     anc: jnp.ndarray,  # (B, K, Lc) int32 ancestry (pad columns = -1)
     pos: jnp.ndarray,  # scalar: cache columns < pos-1 are live
     *,
+    width: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused group attend; returns (B, H, K, dk) in ``v.dtype``."""
+    """Fused group attend; returns (B, H, K, dk) in ``v.dtype``.
+
+    ``width`` (static, multiple of 8) narrows the attended cache to columns
+    [0, width) — the K/V/anc BlockSpecs shrink, so the DMA only touches those
+    bytes, no slicing copy. Callers guarantee pos - 1 <= width during a
+    phase (decode.beam_search phase_widths); the result is bit-identical to
+    the full-width attend because columns >= pos - 1 are masked dead anyway.
+    """
     b, h, km, lc, dk = k.shape
+    if width is not None:
+        if width % 8 != 0 or not (0 < width <= lc):
+            raise ValueError(f"width must be a multiple of 8 in (0, {lc}], got {width}")
+        lc = width
     scale = 1.0 / math.sqrt(dk)
     row3 = lambda i, pos_ref: (i, 0, 0)
     row = lambda i, pos_ref: (i, 0, 0, 0)

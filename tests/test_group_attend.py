@@ -90,3 +90,29 @@ def test_flagship_shape_smoke():
         np.testing.assert_allclose(
             np.asarray(got, np.float64), want, rtol=1e-4, atol=1e-5
         )
+
+
+def test_width_narrows_blockspec_exactly():
+    """A static width w >= pos-1 matches full Lc to f32 reduction-order noise
+    — the narrowed BlockSpec only drops columns that are masked dead anyway
+    (dropping them regroups the live terms in the sums, so agreement is
+    ulp-level, not bit-level), and it matches the f64 oracle as tightly as
+    the full-width kernel does."""
+    rng = np.random.RandomState(4)
+    b, h, km, lc, dk = 2, 2, 4, 32, 8
+    pos = 9  # live columns 0..7 -> any width >= 8 covers them
+    k, v, q, k_new, v_new, anc = make_case(rng, b, h, km, lc, dk, pos)
+    want = ref_group_attend(k, v, q, k_new, v_new, anc, pos)
+    for w in (8, 16, 24):
+        got = group_attend_anc(
+            k, v, q, k_new, v_new, anc, pos, width=w, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float64), want, rtol=1e-5, atol=1e-6
+        )
+    try:
+        group_attend_anc(k, v, q, k_new, v_new, anc, pos, width=12, interpret=True)
+    except ValueError as e:
+        assert "multiple of 8" in str(e)
+    else:
+        raise AssertionError("width=12 should be rejected")

@@ -481,3 +481,57 @@ def test_speech2text_segmented_cache_config_matches_default(tmp_path):
     s2.variables = s1.variables
     res_seg = s2(batch)
     assert [r[0] for r in res_plain] == [r[0] for r in res_seg]
+
+
+def test_speech2text_phase_widths_match_full(tmp_path):
+    """inference_conf phase_widths (phased attend over the live cache prefix)
+    returns exactly the same hypotheses and scores as the single full-width
+    loop — columns >= pos-1 are masked dead in every formulation, and each
+    phase only covers steps whose live prefix fits its width."""
+    import types
+    from tailored_avsr_tpu.inference import Speech2Text
+
+    tok = tmp_path / "tokens.txt"
+    tok.write_text("\n".join(["<blank>", "<unk>"] +
+                              [chr(65 + i) for i in range(6)] + ["<sos/eos>"]))
+    base = dict(
+        task="asr",
+        token_list=str(tok),
+        frontend="default",
+        frontend_conf={"n_fft": 512, "win_length": 400, "hop_length": 160,
+                       "n_mels": 20},
+        encoder="branchformer",
+        encoder_conf={"output_size": 24, "attention_heads": 4,
+                      "linear_units": 32, "cgmlp_linear_units": 32,
+                      "cgmlp_conv_kernel": 7, "num_blocks": 1,
+                      "input_layer": "conv2d", "dropout_rate": 0.0},
+        decoder="transformer",
+        decoder_conf={"attention_heads": 4, "linear_units": 32,
+                      "num_blocks": 1, "dropout_rate": 0.0},
+        model="espnet", model_conf={"ctc_weight": 0.3},
+        inference_conf={"beam_size": 3, "ctc_weight": 0.3, "lm_weight": 0.4,
+                        "nbest": 2, "early_exit": False},
+    )
+    lm_cfg = types.SimpleNamespace(
+        token_list=None, lm_conf={"att_unit": 16, "head": 2, "unit": 24,
+                                  "layer": 2, "dropout_rate": 0.0},
+    )
+    rng = np.random.RandomState(29)
+    B, S = 2, 640 * 8
+    batch = {
+        "speech": (rng.randn(B, S) * 0.1).astype(np.float32),
+        "speech_lengths": np.full((B,), S, np.int32),
+        "text": np.ones((B, 4), np.int32),
+        "text_lengths": np.full((B,), 4, np.int32),
+    }
+    s_full = Speech2Text(types.SimpleNamespace(**base), lm_config=lm_cfg)
+    res_full = s_full(batch)
+    for widths in ([0.5], [8, 0.75], [4, 8, 12]):
+        cfg2 = dict(base, inference_conf=dict(base["inference_conf"],
+                                              phase_widths=widths))
+        s_ph = Speech2Text(types.SimpleNamespace(**cfg2), lm_config=lm_cfg)
+        s_ph.ensure_params(batch)
+        s_ph.variables = s_full.variables
+        s_ph.lm_variables = s_full.lm_variables
+        res_ph = s_ph(batch)
+        assert [r[0] for r in res_full] == [r[0] for r in res_ph], widths
