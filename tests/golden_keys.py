@@ -163,7 +163,7 @@ def asr_branchformer_keys(num_blocks=12, dec_blocks=6):
 
 
 def vsr_branchformer_keys(num_blocks=12, dec_blocks=6):
-    """configs/VSR/branchformer_transformer+ctc_spanish.yaml family: ResNet
+    """configs/VSR/conv3dresnet18_branchformer_transformer+ctc_spanish.yaml family: ResNet
     frontend; encoder embed = Sequential(Linear(512, d), pos_enc) -> embed.0
     (encoder.py:130-134)."""
     keys = resnet18_frontend_keys("frontend")

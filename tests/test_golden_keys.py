@@ -89,7 +89,7 @@ def test_asr_family_key_map_complete():
 
 def test_vsr_family_key_map_complete():
     check_family(
-        "configs/VSR/branchformer_transformer+ctc_spanish.yaml",
+        "configs/VSR/conv3dresnet18_branchformer_transformer+ctc_spanish.yaml",
         golden_keys.vsr_branchformer_keys(num_blocks=12, dec_blocks=6),
     )
 
