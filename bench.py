@@ -172,7 +172,7 @@ def main():
     from tailored_avsr_tpu.utils.config import load_config
 
     cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
-    lm_cfg = load_config("configs/LM/lm_spanish.yaml")
+    lm_cfg = load_config("configs/LM/lm-spanish.yaml")
     if on_tpu:
         cfg.dtype = "bfloat16"
         cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)

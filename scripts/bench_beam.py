@@ -69,7 +69,7 @@ def main():
             ("realistic", {"early_exit": True, "minlenratio": 0.6}),
         ):
             cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
-            lm_cfg = load_config("configs/LM/lm_spanish.yaml")
+            lm_cfg = load_config("configs/LM/lm-spanish.yaml")
             if on_tpu:
                 cfg.dtype = "bfloat16"
                 cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)

@@ -53,7 +53,7 @@ def main():
 
     for label, lm_on in (("beam_no_lm", False), ("beam_lm", True)):
         cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
-        lm_cfg = load_config("configs/LM/lm_spanish.yaml") if lm_on else None
+        lm_cfg = load_config("configs/LM/lm-spanish.yaml") if lm_on else None
         if on_tpu:
             cfg.dtype = "bfloat16"
             cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)

@@ -49,7 +49,7 @@ def main():
     }
 
     cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
-    lm_cfg = load_config("configs/LM/lm_spanish.yaml") if args.lm else None
+    lm_cfg = load_config("configs/LM/lm-spanish.yaml") if args.lm else None
     if on_tpu:
         cfg.dtype = "bfloat16"
         cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--protocol", default="anc",
                     help="beam KV-cache protocol: anc | append")
     ap.add_argument("--unroll", type=int, default=2)
+    ap.add_argument("--phase-widths", default="",
+                    help="comma-separated phased attend widths (fractions "
+                         "<=1 of max length or absolute columns)")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +64,7 @@ def main():
             ctc_w = 0.1 if "ctc" in variant else 0.0
             lm_on = "lm" in variant
             cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
-            lm_cfg = load_config("configs/LM/lm_spanish.yaml") if lm_on else None
+            lm_cfg = load_config("configs/LM/lm-spanish.yaml") if lm_on else None
             if on_tpu:
                 cfg.dtype = "bfloat16"
                 cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
@@ -70,11 +73,16 @@ def main():
                 lm_weight=0.4 if lm_on else 0.0, early_exit=False,
                 cache_protocol=args.protocol, unroll=args.unroll,
             )
+            if args.phase_widths:
+                cfg.inference_conf["phase_widths"] = [
+                    float(x) for x in args.phase_widths.split(",")
+                ]
             s2t = Speech2Text(cfg, lm_config=lm_cfg)
             d = s2t.device_put_batch(dict(data))
             dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
             line = {
                 "batch": b, "protocol": args.protocol, "unroll": args.unroll,
+                "phases": args.phase_widths or None,
                 "variant": variant, "ms": round(dt * 1e3, 1),
                 "rtf": round(secs / dt, 1),
                 # the full loop runs ~one step per encoder frame (early_exit
