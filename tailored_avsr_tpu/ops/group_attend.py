@@ -56,7 +56,7 @@ def _group_attend_kernel(
     *,
     scale: float,
 ):
-    _, h, km, lc, dk = k_ref.shape
+    _, hb, km, lc, dk = k_ref.shape  # hb = heads per grid step
     anc = anc_ref[0]  # (K, Lc)
     tt = jax.lax.broadcasted_iota(jnp.int32, (km, lc), 1)
     live = tt < pos_ref[0] - 1
@@ -64,7 +64,7 @@ def _group_attend_kernel(
     valid = jnp.concatenate(
         [(anc == j) & live for j in range(km)], axis=1
     )  # (K, K*Lc) bool
-    for hi in range(h):
+    for hi in range(hb):
         q = q_ref[0, hi]  # (K, dk)
         k2 = k_ref[0, hi].reshape(km * lc, dk)
         s = jax.lax.dot_general(
@@ -117,23 +117,35 @@ def group_attend_anc(
             raise ValueError(f"width must be a multiple of 8 in (0, {lc}], got {width}")
         lc = width
     scale = 1.0 / math.sqrt(dk)
-    row3 = lambda i, pos_ref: (i, 0, 0)
-    row = lambda i, pos_ref: (i, 0, 0, 0)
-    row5 = lambda i, pos_ref: (i, 0, 0, 0, 0)
+    # Heads per grid step: a K/V block is hb*K*lc*dk bytes and Mosaic double-
+    # buffers both leaves — cap it so long-Lc serving shapes (T up to the
+    # 500-frame cap) stay within scoped VMEM. At the flagship decode shape
+    # all heads fit in one step (hb = H).
+    leaf_bytes = km * lc * dk * jnp.dtype(k.dtype).itemsize
+    hb = h
+    while hb > 1 and (h % hb != 0 or hb * leaf_bytes > (3 << 20)):
+        hb -= 1
+    while h % hb != 0:
+        hb -= 1
+    row3 = lambda i, j, pos_ref: (i, 0, 0)
+    row = lambda i, j, pos_ref: (i, j, 0, 0)
+    row5 = lambda i, j, pos_ref: (i, j, 0, 0, 0)
     return pl.pallas_call(
         functools.partial(_group_attend_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            # h innermost: the anc block's index is j-independent, so Mosaic
+            # skips its re-fetch across the inner head steps
+            grid=(b, h // hb),
             in_specs=[
-                pl.BlockSpec((1, h, km, dk), row),
-                pl.BlockSpec((1, h, km, dk), row),
-                pl.BlockSpec((1, h, km, dk), row),
+                pl.BlockSpec((1, hb, km, dk), row),
+                pl.BlockSpec((1, hb, km, dk), row),
+                pl.BlockSpec((1, hb, km, dk), row),
                 pl.BlockSpec((1, km, lc), row3),
-                pl.BlockSpec((1, h, km, lc, dk), row5),
-                pl.BlockSpec((1, h, km, lc, dk), row5),
+                pl.BlockSpec((1, hb, km, lc, dk), row5),
+                pl.BlockSpec((1, hb, km, lc, dk), row5),
             ],
-            out_specs=pl.BlockSpec((1, h, km, dk), row),
+            out_specs=pl.BlockSpec((1, hb, km, dk), row),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, km, dk), v.dtype),
         interpret=interpret,

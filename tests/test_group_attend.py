@@ -116,3 +116,17 @@ def test_width_narrows_blockspec_exactly():
         assert "multiple of 8" in str(e)
     else:
         raise AssertionError("width=12 should be rejected")
+
+
+def test_long_lc_head_blocked_grid():
+    """Lc big enough to force hb < H (the long-T serving shape guard):
+    per-(batch, head-block) grid steps must agree with the oracle."""
+    rng = np.random.RandomState(5)
+    b, h, km, lc, dk = 1, 4, 10, 512, 64  # leaf ~10 MB f32 -> hb = 1
+    pos = 300
+    k, v, q, k_new, v_new, anc = make_case(rng, b, h, km, lc, dk, pos)
+    got = group_attend_anc(k, v, q, k_new, v_new, anc, pos, interpret=True)
+    want = ref_group_attend(k, v, q, k_new, v_new, anc, pos)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float64), want, rtol=1e-4, atol=1e-5
+    )
