@@ -271,6 +271,12 @@ class Speech2Text:
 
     def _build_decode(self, shape_key):
         model, lm, lm_vars = self.model, self.lm, self.lm_variables
+        if self.mesh is not None:
+            # pod-batched decode: keep the XLA group attend (GSPMD shards it
+            # over 'data'; the Pallas custom call has no partitioning rule)
+            from tailored_avsr_tpu.ops.attention import set_fused_group_attend
+
+            set_fused_group_attend(False)
         cfg = self.beam_config
         # n-gram-only fusion rides on the lm_weight slot
         if lm is None and self.ngram is not None and self.ngram_weight > 0:

@@ -29,7 +29,17 @@ from tailored_avsr_tpu.ops.masking import MASK_MIN
 
 # ancestry-beam group attend: fused Pallas kernel on TPU (see attend_kv_anc).
 # Env opt-out (TAVSR_FUSED_GROUP_ATTEND=0) exists for A/B benchmarking only.
+# Pod-batched decoding (Speech2Text(mesh=...)) disables it for the build:
+# GSPMD has no partitioning rule for the custom call, so under a mesh it
+# would force operand replication — the XLA formulation shards cleanly.
 _FUSED_GROUP_ATTEND = os.environ.get("TAVSR_FUSED_GROUP_ATTEND", "1") != "0"
+
+
+def set_fused_group_attend(enabled: bool) -> None:
+    global _FUSED_GROUP_ATTEND
+    _FUSED_GROUP_ATTEND = bool(enabled) and (
+        os.environ.get("TAVSR_FUSED_GROUP_ATTEND", "1") != "0"
+    )
 
 
 def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
