@@ -141,3 +141,40 @@ def test_linear_layout_semantics():
     }
     got = np.asarray(dense.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pth_file_checkpoint_flow(tmp_path):
+    """The actual Zenodo-checkpoint user flow, file-level: a torch-serialized
+    .pth on disk (torch.save) loads through Speech2Text(ckpt_path=...) /
+    train.checkpoint.load_model and reproduces the source parameters exactly
+    (the in-memory translation tests above never touch torch's pickle
+    serialization or the 'model' sub-dict convention)."""
+    import torch
+
+    from tailored_avsr_tpu.train.checkpoint import load_model
+
+    key = jax.random.PRNGKey(7)
+    model = build_avsr_model("tailored")
+    batch = avsr_batch(key)
+    variables = model.init(key, *batch)
+    sd = export_torch_state_dict(variables)
+    pth = str(tmp_path / "model_avg.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, pth)
+    loaded = load_model(variables, pth)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables["params"]),
+        jax.tree_util.tree_leaves_with_path(loaded["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the reference also wraps state dicts as {"model": sd} in some tools
+    pth2 = str(tmp_path / "wrapped.pth")
+    torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                           for k, v in sd.items()}}, pth2)
+    loaded2 = load_model(variables, pth2)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables["params"]),
+        jax.tree_util.tree_leaves_with_path(loaded2["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
