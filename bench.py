@@ -105,6 +105,15 @@ def main():
         "--full", action="store_true",
         help="also bench the beam+LM decode graph and a training step",
     )
+    parser.add_argument(
+        "--beam-batch", type=int, default=32,
+        help="batch size for the --full beam-decode bench",
+    )
+    parser.add_argument(
+        "--beam-phases", default="",
+        help="comma-separated phased attend widths for the beam bench "
+             "(fractions of max length or absolute columns)",
+    )
     args_cli = parser.parse_args()
 
     import jax
@@ -176,11 +185,15 @@ def main():
     if on_tpu:
         cfg.dtype = "bfloat16"
         cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
-    beam_batch = 32
+    beam_batch = args_cli.beam_batch
     cfg.inference_conf = dict(
         cfg.inference_conf, beam_size=10, ctc_weight=0.1, lm_weight=0.4,
         early_exit=False,
     )
+    if args_cli.beam_phases:
+        cfg.inference_conf["phase_widths"] = [
+            float(x) for x in args_cli.beam_phases.split(",")
+        ]
     s2t = Speech2Text(cfg, lm_config=lm_cfg)
     data = {
         "audio": np.asarray(audio[:beam_batch], np.float32),
@@ -199,7 +212,7 @@ def main():
     flops_b = graph_flops(bjit, s2t.variables, *bargs)
     rtf_b = beam_batch * samples / 16000.0 / dt_b
     line = {
-        "metric": "avsr_beam10_lm_rtf_batch32_bf16",
+        "metric": f"avsr_beam10_lm_rtf_batch{beam_batch}_bf16",
         "value": round(rtf_b, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf_b / 150.0, 3),
