@@ -25,6 +25,8 @@ tensorized beams (SURVEY.md §7 "hard parts"):
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -83,7 +85,27 @@ def insert_permute_rows(
     return jnp.where(colmask, new_col[g_src].astype(x.dtype), x[g_src])
 
 
-def write_beam_column(x: jnp.ndarray, new_col: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+def _shard_over_data(call, mesh, n_arrays: int, n_outs: int):
+    """shard_map ``call`` (n leading array args + trailing scalar pos) over
+    the mesh's 'data' axis, batch dim 0 sharded. Keeps the Pallas cache
+    kernels per-shard under pod-batched decode (GSPMD has no partitioning
+    rule for the custom calls and would otherwise replicate the caches)."""
+    from jax.sharding import PartitionSpec as P
+
+    bs = P("data")
+    # check_vma=False: pallas_call declares no varying-mesh-axes metadata,
+    # so the replication checker cannot analyze it
+    return jax.shard_map(
+        call, mesh=mesh,
+        in_specs=tuple([bs] * n_arrays) + (P(),),
+        out_specs=bs if n_outs == 1 else tuple([bs] * n_outs),
+        check_vma=False,
+    )
+
+
+def write_beam_column(
+    x: jnp.ndarray, new_col: jnp.ndarray, pos: jnp.ndarray, mesh=None
+) -> jnp.ndarray:
     """Write this step's K/V columns into a group-major (B, H, K, Lc, dk)
     ancestry cache at column ``pos-1`` — no reorder.
 
@@ -101,10 +123,16 @@ def write_beam_column(x: jnp.ndarray, new_col: jnp.ndarray, pos: jnp.ndarray) ->
     """
     b, h, km, lc, dk = x.shape
     upd = new_col[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
-    if jax.devices()[0].platform != "cpu":
+    on_tpu = jax.devices()[0].platform != "cpu"
+    # TAVSR_FORCE_PALLAS_WRITES=1: run the Pallas RMW kernel in interpret
+    # mode on CPU so CI exercises it inside the full beam graph
+    if on_tpu or os.environ.get("TAVSR_FORCE_PALLAS_WRITES", "0") == "1":
         from tailored_avsr_tpu.ops.cache_update import write_cache_column
 
-        return write_cache_column(x, upd, pos - 1)
+        call = functools.partial(write_cache_column, interpret=not on_tpu)
+        if mesh is not None and "data" in mesh.shape and b % mesh.shape["data"] == 0:
+            call = _shard_over_data(call, mesh, n_arrays=2, n_outs=1)
+        return call(x, upd, pos - 1)
     return jax.lax.dynamic_update_slice(
         x, upd[:, :, :, None, :].astype(x.dtype), (0, 0, 0, pos - 1, 0)
     )
@@ -116,6 +144,7 @@ def write_beam_columns_kv(
     k_new: jnp.ndarray,  # (N, H, 1, dk) this step's key column
     v_new: jnp.ndarray,  # (N, H, 1, dk) this step's value column
     pos: jnp.ndarray,
+    mesh=None,
 ):
     """One layer's K and V column writes fused into a single kernel call.
 
@@ -127,10 +156,14 @@ def write_beam_columns_kv(
     b, h, km, lc, dk = ck.shape
     ku = k_new[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
     vu = v_new[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
-    if jax.devices()[0].platform != "cpu":
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu or os.environ.get("TAVSR_FORCE_PALLAS_WRITES", "0") == "1":
         from tailored_avsr_tpu.ops.cache_update import write_cache_columns_kv
 
-        return write_cache_columns_kv(ck, cv, ku, vu, pos - 1)
+        call = functools.partial(write_cache_columns_kv, interpret=not on_tpu)
+        if mesh is not None and "data" in mesh.shape and b % mesh.shape["data"] == 0:
+            call = _shard_over_data(call, mesh, n_arrays=4, n_outs=2)
+        return call(ck, cv, ku, vu, pos - 1)
     return (
         jax.lax.dynamic_update_slice(
             ck, ku[:, :, :, None, :].astype(ck.dtype), (0, 0, 0, pos - 1, 0)

@@ -88,6 +88,13 @@ class Speech2Text:
         # batch-8 operating point, where ~50 lax.cond dispatches per step cost
         # more than the skipped bandwidth; raise for long-sequence serving)
         self.cache_segments = int(inf.get("cache_segments", 1))
+        # ancestry group-attend kernel choice, per engine (no process-global
+        # state): None = fused Pallas kernel on TPU, XLA formulation on CPU;
+        # True forces the Pallas path (interpret mode off-TPU — used by CI to
+        # run the kernel inside the full beam graph); False forces XLA (A/B).
+        # Under a mesh the fused kernel runs per data shard via shard_map.
+        fga = inf.get("fused_group_attend", None)
+        self.fused_group_attend = None if fga is None else bool(fga)
         # beam KV-cache protocol: 'anc' (default) never reorders the cache —
         # an (N, Lc) int32 ancestry table re-attributes columns after each
         # beam reorder and the attend resolves it as a masked group attend
@@ -271,12 +278,6 @@ class Speech2Text:
 
     def _build_decode(self, shape_key):
         model, lm, lm_vars = self.model, self.lm, self.lm_variables
-        if self.mesh is not None:
-            # pod-batched decode: keep the XLA group attend (GSPMD shards it
-            # over 'data'; the Pallas custom call has no partitioning rule)
-            from tailored_avsr_tpu.ops.attention import set_fused_group_attend
-
-            set_fused_group_attend(False)
         cfg = self.beam_config
         # n-gram-only fusion rides on the lm_weight slot
         if lm is None and self.ngram is not None and self.ngram_weight > 0:
@@ -511,6 +512,9 @@ class Speech2Text:
                         )
                         lm_scale = cfg.lm_weight / att_w
 
+                    fused = self.fused_group_attend
+                    mesh = self.mesh
+
                     def att_fn_for_width(width):
                         # width=None: full-Lc attend. A static width narrows
                         # the fused group-attend kernel's K/V BlockSpecs to
@@ -521,7 +525,9 @@ class Speech2Text:
                                 variables, mem_kv_b, mem_mask, ys, pos,
                                 state["dec"], state["anc"], cfg.beam_size,
                                 width,
-                                method=lambda m, *a: m.decoder.score_step_anc(*a),
+                                method=lambda m, *a: m.decoder.score_step_anc(
+                                    *a, fused=fused, mesh=mesh
+                                ),
                             )
                             out = dict(state)
                             out["dec_new"] = cast_kv(dec_new)
@@ -529,7 +535,9 @@ class Speech2Text:
                                 lm_lp, lm_new = lm.apply(
                                     lmv, ys, pos, state["lm"], state["anc"],
                                     cfg.beam_size, width,
-                                    method="score_step_anc",
+                                    method=lambda m, *a: m.score_step_anc(
+                                        *a, fused=fused, mesh=mesh
+                                    ),
                                 )
                                 if ngram is not None and ngram_w > 0:
                                     lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
@@ -547,7 +555,8 @@ class Speech2Text:
                         src_bk = g_src.reshape(-1, cfg.beam_size) % cfg.beam_size
                         out = {
                             "dec": [
-                                write_beam_columns_kv(ck, cv, kn, vn, pos)
+                                write_beam_columns_kv(ck, cv, kn, vn, pos,
+                                                      mesh=mesh)
                                 for (ck, cv), (kn, vn) in zip(
                                     state["dec"], state["dec_new"]
                                 )
@@ -559,7 +568,8 @@ class Speech2Text:
                         }
                         if fold_lm:
                             out["lm"] = [
-                                write_beam_columns_kv(ck, cv, kn, vn, pos)
+                                write_beam_columns_kv(ck, cv, kn, vn, pos,
+                                                      mesh=mesh)
                                 for (ck, cv), (kn, vn) in zip(
                                     state["lm"], state["lm_new"]
                                 )

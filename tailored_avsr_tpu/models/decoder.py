@@ -627,6 +627,8 @@ class TransformerDecoder(_DecoderBase):
         anc: jnp.ndarray,  # (N, >=Lc) int32 ancestry table
         beam: int,
         width: int | None = None,  # static: attend cache columns [0, width)
+        fused: bool | None = None,  # per-call kernel choice (attend_kv_anc)
+        mesh=None,  # shard the fused kernel over the mesh's 'data' axis
     ):
         """Ancestry-cache beam-step scorer: ((N, V) log-probs, new_kv).
 
@@ -651,7 +653,8 @@ class TransformerDecoder(_DecoderBase):
             h = layer.norm1(x)
             q, k_new, v_new = layer.self_attn.project_qkv(h)  # (N, H, 1, dk)
             x = x + layer.self_attn.attend_kv_anc(
-                ck, cv, k_new, v_new, anc, pos, beam, q, width=width
+                ck, cv, k_new, v_new, anc, pos, beam, q, width=width,
+                fused=fused, mesh=mesh,
             )
             h = layer.norm2(x)
             x = x + layer.src_attn.attend_kv_mem_grouped(

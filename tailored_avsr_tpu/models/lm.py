@@ -208,7 +208,8 @@ class TransformerLM(nn.Module):
         )
 
     def score_step_anc(self, ys, pos, cache, anc, beam: int,
-                       width: int | None = None):
+                       width: int | None = None,
+                       fused: bool | None = None, mesh=None):
         """Ancestry-cache beam-step scorer: ((N, V) log-probs, new_kv).
 
         Like ``score_step_append`` but the cache (group-major
@@ -230,7 +231,8 @@ class TransformerLM(nn.Module):
             h = layer.norm1(x)
             q, k_new, v_new = layer.self_attn.project_qkv(h)
             x = x + layer.self_attn.attend_kv_anc(
-                ck, cv, k_new, v_new, anc, pos, beam, q, width=width
+                ck, cv, k_new, v_new, anc, pos, beam, q, width=width,
+                fused=fused, mesh=mesh,
             )
             h = layer.norm2(x)
             x = x + layer.feed_forward(h, deterministic=True)

@@ -18,6 +18,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -28,18 +29,11 @@ import jax.numpy as jnp
 from tailored_avsr_tpu.ops.masking import MASK_MIN
 
 # ancestry-beam group attend: fused Pallas kernel on TPU (see attend_kv_anc).
-# Env opt-out (TAVSR_FUSED_GROUP_ATTEND=0) exists for A/B benchmarking only.
-# Pod-batched decoding (Speech2Text(mesh=...)) disables it for the build:
-# GSPMD has no partitioning rule for the custom call, so under a mesh it
-# would force operand replication — the XLA formulation shards cleanly.
+# Env opt-out (TAVSR_FUSED_GROUP_ATTEND=0) exists for A/B benchmarking only;
+# callers select per call via attend_kv_anc's ``fused`` argument (None = this
+# default). No mutable module state: one engine's choice never leaks into
+# another's graph.
 _FUSED_GROUP_ATTEND = os.environ.get("TAVSR_FUSED_GROUP_ATTEND", "1") != "0"
-
-
-def set_fused_group_attend(enabled: bool) -> None:
-    global _FUSED_GROUP_ATTEND
-    _FUSED_GROUP_ATTEND = bool(enabled) and (
-        os.environ.get("TAVSR_FUSED_GROUP_ATTEND", "1") != "0"
-    )
 
 
 def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -212,6 +206,13 @@ class MultiHeadedAttention(nn.Module):
         beam: int,
         q_heads: jnp.ndarray,  # precomputed (N, H, 1, dk) query heads
         width: int | None = None,  # static: attend only columns [0, width)
+        fused: bool | None = None,  # None = fused kernel on TPU (env-gated);
+        #   True forces the Pallas path (interpret mode off-TPU — CI coverage);
+        #   False forces the XLA formulation (A/B benchmarking)
+        mesh=None,  # jax.sharding.Mesh: shard_map the fused kernel over its
+        #   'data' axis so pod-batched decode keeps the Pallas path per-shard
+        #   (GSPMD has no partitioning rule for the custom call and would
+        #   otherwise replicate its operands)
     ) -> jnp.ndarray:
         """Single-query attention over an ancestry-indexed beam KV cache.
 
@@ -244,8 +245,11 @@ class MultiHeadedAttention(nn.Module):
         q = q_heads  # (N, H, 1, dk)
         scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
         qg = q[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
-        if jax.devices()[0].platform != "cpu" and _FUSED_GROUP_ATTEND:
-            fused_width = width
+        on_tpu = jax.devices()[0].platform != "cpu"
+        use_fused = (
+            (on_tpu and _FUSED_GROUP_ATTEND) if fused is None else bool(fused)
+        )
+        if use_fused:
             # Pallas fused path (ops/group_attend.py): the (B, H, i, j, t)
             # logits/probs tensors below are materialized to HBM by XLA —
             # ~6-9 GB/step at the flagship decode shape, several x the cache
@@ -257,11 +261,32 @@ class MultiHeadedAttention(nn.Module):
                 anc = jnp.pad(
                     anc, ((0, 0), (0, lc - anc.shape[1])), constant_values=-1
                 )
-            out = group_attend_anc(
+            call = functools.partial(
+                group_attend_anc, width=width, interpret=not on_tpu
+            )
+            if (
+                mesh is not None
+                and "data" in mesh.shape
+                and b % mesh.shape["data"] == 0
+            ):
+                # pod-batched decode: the kernel runs per data shard; inputs
+                # are already batch-sharded by the outer jit, so entry/exit
+                # is a no-op resharding
+                from jax.sharding import PartitionSpec as P
+
+                bs = P("data")
+                # check_vma=False: pallas_call declares no varying-mesh-axes
+                # metadata, so the replication checker cannot analyze it
+                call = jax.shard_map(
+                    call, mesh=mesh,
+                    in_specs=(bs, bs, bs, bs, bs, bs, P()),
+                    out_specs=bs, check_vma=False,
+                )
+            out = call(
                 k, v, qg,
                 k_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),
                 v_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),
-                anc[:, :lc].reshape(b, beam, lc), pos, width=fused_width,
+                anc[:, :lc].reshape(b, beam, lc), pos,
             )  # (B, H, i, dk)
             d = h * dk
             out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)

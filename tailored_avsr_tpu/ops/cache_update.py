@@ -68,6 +68,12 @@ def write_cache_column(
     b, h, k, lc, dk = cache.shape
     if lc % _BLK != 0:
         raise ValueError(f"cache Lc dim must be a multiple of {_BLK}, got {lc}")
+    # Clamp: the beam loop's unroll-2 overshoot step may present pos == lc
+    # (odd lmax rounded to 8). That write is result-inert (the loop exits
+    # before the column is ever read), but an unclamped pos // 8 would select
+    # a block past the buffer — an out-of-bounds DMA with undefined Mosaic
+    # behavior. Clamping retargets it to the last in-bounds column.
+    pos = jnp.minimum(jnp.asarray(pos, jnp.int32), lc - 1)
     upd = col.astype(cache.dtype)[:, :, :, None, :]
     # Grid over B: a full-batch block is B*H*K*8*dk*4 bytes (20 MB at the
     # flagship decode shape), which overflows the 16 MB scoped-VMEM budget
@@ -113,6 +119,10 @@ def write_cache_columns_kv(
     b, h, k, lc, dk = kcache.shape
     if lc % _BLK != 0:
         raise ValueError(f"cache Lc dim must be a multiple of {_BLK}, got {lc}")
+    # Same out-of-bounds guard as write_cache_column: the overshoot step's
+    # write may present pos == lc; clamp instead of relying on the caller's
+    # parity invariant (unroll 2 + 8-rounded Lc).
+    pos = jnp.minimum(jnp.asarray(pos, jnp.int32), lc - 1)
     itemsize = jnp.dtype(kcache.dtype).itemsize
     row_bytes = h * k * _BLK * dk * itemsize
     gb = 1
