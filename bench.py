@@ -3,23 +3,29 @@
 model (256-d, 12-block tailored audio-visual Branchformer, the reference's
 headline config) on whatever accelerator JAX sees (TPU chip under the driver).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus measured
-perf-accounting fields: "flops_per_utt", "tf_per_sec", "mfu_pct"}.
+Prints one JSON line PER STAGE — greedy CTC decode, joint CTC/attention + LM
+beam decode (the WER-parity path), and a training step (loss+grads+AdamW) —
+each: {"metric", "value", "unit", "vs_baseline", plus measured perf-accounting
+fields "flops_per_utt", "tf_per_sec", "mfu_pct"}. All three run by DEFAULT
+(the driver invokes plain ``python bench.py``); ``--greedy-only`` restricts to
+the first for quick checks.
 
-Metric: real-time factor of full AVSR inference (audio+video frontends,
-tailored encoder with the Pallas fused-attention kernel, adaptive fusion,
-greedy CTC) in bfloat16 at batch 128 = audio-seconds transcribed per wall
-second per chip. The reference repo publishes no RTF numbers (BASELINE.md);
-the north-star is >=5x an A100 PyTorch baseline. A100 PyTorch inference of
-comparable espnet-class AVSR stacks runs around ~30x real time at batch 1;
-vs_baseline reports value / (5 * 30) — progress toward the 5x-A100 target
-under that stand-in until a measured A100 number exists.
+Failure is structured, never a bare traceback: if the backend cannot
+initialize (the TPU tunnel has been observed to hang indefinitely), or a stage
+dies or exceeds the global ``--deadline``, the stage's line is emitted with an
+``"error"`` field and value null — a failed round still produces a parseable
+artifact for every stage.
+
+Metric: real-time factor = audio-seconds transcribed per wall second per chip.
+The reference repo publishes no RTF numbers (BASELINE.md); the north-star is
+>=5x an A100 PyTorch baseline. A100 PyTorch inference of comparable
+espnet-class AVSR stacks runs around ~30x real time at batch 1; vs_baseline
+reports value / (5 * 30) — progress toward the 5x-A100 target under that
+stand-in until a measured A100 number exists.
 
 MFU: FLOPs are XLA's own cost analysis of the exact compiled graph
 (compiled.cost_analysis()['flops']) divided by measured wall time and the
-chip's peak dense bf16 throughput (TPU v5e = 197 TF/s). ``--full`` also
-measures the joint CTC/attention+LM beam-decode graph and a training step
-(loss+grads+AdamW) and prints one extra JSON line for each.
+chip's peak dense bf16 throughput (TPU v5e = 197 TF/s).
 
 Timing fetches the result every iteration (np.asarray): on some transports
 (the axon tunnel) block_until_ready returns before execution finishes, so
@@ -30,6 +36,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import threading
 import time
 
 import numpy as np
@@ -42,6 +50,30 @@ PEAK_TFLOPS = {
     "v4": 275.0,
     "v6": 918.0,  # Trillium
 }
+
+STAGES = (
+    "avsr_inference_rtf_greedy_batch128_bf16",
+    "avsr_beam10_lm_rtf_bf16",
+    "avsr_train_step_rtf_batch16",
+)
+
+_emitted: set = set()
+_emit_lock = threading.Lock()
+
+
+def emit(metric: str, **fields) -> None:
+    with _emit_lock:
+        if metric in _emitted:
+            return
+        _emitted.add(metric)
+        line = {"metric": metric, "value": None, "unit": "x_realtime_per_chip",
+                "vs_baseline": None}
+        line.update(fields)
+        print(json.dumps(line), flush=True)
+
+
+def emit_error(metric: str, err: str) -> None:
+    emit(metric, error=err)
 
 
 def peak_for(device) -> float | None:
@@ -99,59 +131,42 @@ def perf_fields(flops, dt, peak_tf, batch):
     return out
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument(
-        "--full", action="store_true",
-        help="also bench the beam+LM decode graph and a training step",
-    )
-    parser.add_argument(
-        "--beam-batch", type=int, default=32,
-        help="batch size for the --full beam-decode bench",
-    )
-    parser.add_argument(
-        "--beam-phases", default="",
-        help="comma-separated phased attend widths for the beam bench "
-             "(fractions of max length or absolute columns)",
-    )
-    args_cli = parser.parse_args()
+def init_backend(timeout_s: float):
+    """Initialize the JAX backend under a watchdog.
 
+    The axon tunnel's backend init has been observed to hang for 40+ minutes
+    before dying (BENCH_r02); probing in a daemon thread bounds the wait and
+    turns the hang into a structured record.
+    """
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report whatever init raised
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in result:
+        err = result.get(
+            "error", f"tpu_unavailable: backend init exceeded {timeout_s:.0f}s"
+        )
+        for metric in STAGES:
+            emit_error(metric, err)
+        os._exit(0)  # the hung init thread cannot be joined
+    return result["devices"]
+
+
+def bench_greedy(model_pack, metric: str):
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_flagship
-
-    dev = jax.devices()[0]
-    on_tpu = dev.platform != "cpu"
-    peak_tf = peak_for(dev)
-    model = _build_flagship(use_flash=on_tpu)
-
-    # 4-second utterances at 25 fps; throughput saturates at batch 128
-    # (honest-fetch RTF: 1136x @32, 1529x @64, 2958x @128, 3016x @256)
-    batch, frames = 128, 100
-    rng = np.random.RandomState(0)
-    samples = frames * 640
-    audio = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
-    alens = jnp.full((batch,), samples, np.int32)
-    video = jnp.asarray(rng.randn(batch, frames, 88, 88).astype(np.float32))
-    vlens = jnp.full((batch,), frames, np.int32)
-
-    # init on a 2-row batch (params are batch-independent; avoids compiling a
-    # second full-size graph just for initialization)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)},
-        audio[:2], alens[:2], video[:2], vlens[:2],
-        jnp.ones((2, 8), jnp.int32), jnp.full((2,), 8, np.int32),
-    )
-    if on_tpu:  # bf16 weights/activations: free TPU win (SURVEY.md §2.4)
-        variables = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            variables,
-        )
-        audio = audio.astype(jnp.bfloat16)
-        video = video.astype(jnp.bfloat16)
+    (variables, model, on_tpu, peak_tf, audio, alens, video, vlens,
+     samples) = model_pack
 
     @jax.jit
     def infer(audio, alens, video, vlens):
@@ -159,24 +174,17 @@ def main():
             variables, audio, alens, video, vlens, method="ctc_greedy"
         )
 
+    batch = audio.shape[0]
     dt = timed(infer, audio, alens, video, vlens)
     flops = graph_flops(infer, audio, alens, video, vlens)
+    rtf = batch * samples / 16000.0 / dt
+    emit(metric, value=round(rtf, 2), vs_baseline=round(rtf / 150.0, 3),
+         **perf_fields(flops, dt, peak_tf, batch))
 
-    audio_seconds = batch * samples / 16000.0
-    rtf = audio_seconds / dt
-    line = {
-        "metric": "avsr_inference_rtf_greedy_batch128_bf16",
-        "value": round(rtf, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / 150.0, 3),
-    }
-    line.update(perf_fields(flops, dt, peak_tf, batch))
-    print(json.dumps(line), flush=True)
 
-    if not args_cli.full:
-        return
-
-    # ---- joint CTC/attention + LM beam decode (the WER-parity path) --------
+def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
+               samples, metric: str):
+    """Joint CTC/attention + LM beam decode — the WER-parity serving path."""
     from tailored_avsr_tpu.inference import Speech2Text
     from tailored_avsr_tpu.utils.config import load_config
 
@@ -211,23 +219,21 @@ def main():
     dt_b = timed(bjit, s2t.variables, *bargs, iters=5)
     flops_b = graph_flops(bjit, s2t.variables, *bargs)
     rtf_b = beam_batch * samples / 16000.0 / dt_b
-    line = {
-        "metric": f"avsr_beam10_lm_rtf_batch{beam_batch}_bf16",
-        "value": round(rtf_b, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf_b / 150.0, 3),
-    }
-    line.update(perf_fields(flops_b, dt_b, peak_tf, beam_batch))
-    print(json.dumps(line), flush=True)
+    emit(metric, value=round(rtf_b, 2), vs_baseline=round(rtf_b / 150.0, 3),
+         batch=beam_batch, **perf_fields(flops_b, dt_b, peak_tf, beam_batch))
 
-    # ---- training step: hybrid loss + grads + AdamW ------------------------
+
+def bench_train(on_tpu, peak_tf, metric: str):
+    import jax
+    import jax.numpy as jnp
     import optax
 
+    from __graft_entry__ import _build_flagship
+
+    rng = np.random.RandomState(7)
     tb, tframes = 16, 100
     tsamples = tframes * 640
-    t_audio = jnp.asarray(
-        rng.randn(tb, tsamples).astype(np.float32) * 0.1
-    )
+    t_audio = jnp.asarray(rng.randn(tb, tsamples).astype(np.float32) * 0.1)
     t_alens = jnp.full((tb,), tsamples, np.int32)
     t_video = jnp.asarray(rng.randn(tb, tframes, 88, 88).astype(np.float32))
     t_vlens = jnp.full((tb,), tframes, np.int32)
@@ -266,14 +272,107 @@ def main():
     dt_t = timed(train_step, *targs, iters=5)
     flops_t = graph_flops(train_step, *targs)
     rtf_t = tb * tsamples / 16000.0 / dt_t
-    line = {
-        "metric": "avsr_train_step_rtf_batch16",
-        "value": round(rtf_t, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": None,
-    }
-    line.update(perf_fields(flops_t, dt_t, peak_tf, tb))
-    print(json.dumps(line), flush=True)
+    emit(metric, value=round(rtf_t, 2),
+         **perf_fields(flops_t, dt_t, peak_tf, tb))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--full", action="store_true",
+        help="deprecated no-op: beam+LM and train stages run by default",
+    )
+    parser.add_argument(
+        "--greedy-only", action="store_true",
+        help="bench only the greedy CTC decode (quick check)",
+    )
+    parser.add_argument(
+        "--beam-batch", type=int, default=32,
+        help="batch size for the beam-decode bench",
+    )
+    parser.add_argument(
+        "--beam-phases", default="",
+        help="comma-separated phased attend widths for the beam bench "
+             "(fractions of max length or absolute columns)",
+    )
+    parser.add_argument(
+        "--backend-timeout", type=float, default=420.0,
+        help="seconds to wait for JAX backend init before emitting "
+             "structured tpu_unavailable records",
+    )
+    parser.add_argument(
+        "--deadline", type=float, default=5400.0,
+        help="global wall-clock budget; unfinished stages emit "
+             "deadline_exceeded records and the process exits 0",
+    )
+    args_cli = parser.parse_args()
+    stages = STAGES[:1] if args_cli.greedy_only else STAGES
+
+    def reaper():
+        time.sleep(args_cli.deadline)
+        for metric in stages:
+            emit_error(metric, f"deadline_exceeded_{args_cli.deadline:.0f}s")
+        os._exit(0)
+
+    threading.Thread(target=reaper, daemon=True).start()
+
+    devices = init_backend(args_cli.backend_timeout)
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_flagship
+
+    dev = devices[0]
+    on_tpu = dev.platform != "cpu"
+    peak_tf = peak_for(dev)
+
+    # 4-second utterances at 25 fps; throughput saturates at batch 128
+    # (honest-fetch RTF: 1136x @32, 1529x @64, 2958x @128, 3016x @256)
+    batch, frames = 128, 100
+    rng = np.random.RandomState(0)
+    samples = frames * 640
+    audio = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
+    alens = jnp.full((batch,), samples, np.int32)
+    video = jnp.asarray(rng.randn(batch, frames, 88, 88).astype(np.float32))
+    vlens = jnp.full((batch,), frames, np.int32)
+
+    try:
+        model = _build_flagship(use_flash=on_tpu)
+        # init on a 2-row batch (params are batch-independent; avoids
+        # compiling a second full-size graph just for initialization)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)},
+            audio[:2], alens[:2], video[:2], vlens[:2],
+            jnp.ones((2, 8), jnp.int32), jnp.full((2,), 8, np.int32),
+        )
+        if on_tpu:  # bf16 weights/activations: free TPU win (SURVEY.md §2.4)
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                variables,
+            )
+            audio = audio.astype(jnp.bfloat16)
+            video = video.astype(jnp.bfloat16)
+        pack = (variables, model, on_tpu, peak_tf, audio, alens, video,
+                vlens, samples)
+        bench_greedy(pack, STAGES[0])
+    except Exception as e:  # noqa: BLE001 — structured per-stage failure
+        emit_error(STAGES[0], f"{type(e).__name__}: {e}")
+
+    if args_cli.greedy_only:
+        return
+
+    try:
+        bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
+                   samples, STAGES[1])
+    except Exception as e:  # noqa: BLE001
+        emit_error(STAGES[1], f"{type(e).__name__}: {e}")
+
+    try:
+        bench_train(on_tpu, peak_tf, STAGES[2])
+    except Exception as e:  # noqa: BLE001
+        emit_error(STAGES[2], f"{type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
