@@ -33,11 +33,31 @@ import optax
 
 
 class LMTextDataset:
-    """Line-per-utterance text dataset (ref src/utils/lm_dataloader.py)."""
+    """LM text dataset, both reference modes (ref src/datasets/lm_dataset.py
+    + src/utils/lm_dataloader.py:11 ``from_dataset_partiton=".csv" in path``):
+
+    - a ``.csv`` path is an audio-visual dataset partition (splits/**.csv):
+      each row's ``transcription_path`` file holds the utterance text on its
+      first line;
+    - any other path is a raw line-per-utterance text file.
+
+    Text normalization matches the reference: first line, stripped,
+    uppercased, '{'/'}' removed.
+    """
 
     def __init__(self, path, tokenizer, converter):
-        with open(path, "r", encoding="utf-8") as f:
-            lines = [l.strip().upper().replace("{", "").replace("}", "") for l in f]
+        if ".csv" in path:
+            import pandas as pd
+
+            df = pd.read_csv(path, delimiter=",")
+            lines = []
+            for tpath in df["transcription_path"]:
+                with open(tpath, "r", encoding="utf-8") as f:
+                    lines.append(f.readlines()[0].strip())
+        else:
+            with open(path, "r", encoding="utf-8") as f:
+                lines = [l.strip() for l in f]
+        lines = [l.upper().replace("{", "").replace("}", "") for l in lines]
         self.ids = [
             np.asarray(converter.tokens2ids(tokenizer.text2tokens(l)), np.int32)
             for l in lines

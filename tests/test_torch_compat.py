@@ -178,3 +178,82 @@ def test_pth_file_checkpoint_flow(tmp_path):
         jax.tree_util.tree_leaves_with_path(loaded2["params"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pth_file_checkpoint_flow_conventional(tmp_path):
+    """Dress rehearsal for the CONVENTIONAL AVSR family too: a disk .pth in
+    the reference's shape strict-round-trips through load_model (the tailored
+    flagship and ASR/VSR already do; golden_keys covers this family's key
+    inventory)."""
+    import torch
+
+    from tailored_avsr_tpu.train.checkpoint import load_model
+
+    key = jax.random.PRNGKey(11)
+    model = build_avsr_model("conventional")
+    batch = avsr_batch(key)
+    variables = model.init(key, *batch)
+    sd = export_torch_state_dict(variables)
+    # strictness first: the in-memory translation must be exact-set
+    _, report = load_torch_state_dict(variables, sd, strict=True)
+    assert not report["missing"] and not report["unused"]
+    pth = str(tmp_path / "conventional_avg.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, pth)
+    loaded = load_model(variables, pth)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables["params"]),
+        jax.tree_util.tree_leaves_with_path(loaded["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_model_extra_and_missing_keys(tmp_path):
+    """Report semantics on imperfect checkpoints: an extra (unknown) torch
+    key is ignored-but-reported, a deleted key leaves that leaf at its
+    template value and is reported missing; everything else still loads
+    (load_model is non-strict: ref model_checkpoint.py loads with
+    strict=True but our CLI path must degrade informatively)."""
+    import torch
+
+    from tailored_avsr_tpu.train.checkpoint import load_model
+
+    key = jax.random.PRNGKey(13)
+    model = build_asr_model(ctc_weight=0.3)
+    feats = jax.random.normal(key, (2, 45, 20))
+    flens = jnp.array([45, 30])
+    text = jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]])
+    tlens = jnp.array([3, 2])
+    variables = model.init(key, feats, flens, text, tlens)
+    sd = {k: v + 1.0 for k, v in export_torch_state_dict(variables).items()}
+    dropped = "decoder.output_layer.weight"
+    assert dropped in sd
+    del sd[dropped]
+    sd["totally.bogus.weight"] = np.zeros((3, 3), np.float32)
+    sd["encoder.embed.conv.0.num_batches_tracked"] = np.int64(7)  # ignored
+
+    loaded, report = load_torch_state_dict(variables, sd)
+    assert report["unused"] == ["totally.bogus.weight"]
+    assert [m for m in report["missing"]] == [
+        "params/decoder/output_layer/kernel"
+    ]
+    assert report["ignored"] == ["encoder.embed.conv.0.num_batches_tracked"]
+    with pytest.raises(KeyError):
+        load_torch_state_dict(variables, sd, strict=True)
+
+    # file-level: load_model downgrades to a warning and keeps the template
+    # value for the missing leaf while loading everything else
+    pth = str(tmp_path / "imperfect.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+                for k, v in sd.items()}, pth)
+    loaded2 = load_model(variables, pth)
+    out_t = np.asarray(variables["params"]["decoder"]["output_layer"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(loaded2["params"]["decoder"]["output_layer"]["kernel"]),
+        out_t,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded2["params"]["ctc"]["ctc_lo"]["kernel"]),
+        np.asarray(variables["params"]["ctc"]["ctc_lo"]["kernel"]) + 1.0,
+        rtol=1e-6,
+    )

@@ -175,6 +175,40 @@ def test_lm_main_cli(tmp_path):
     ])
     assert os.path.exists(os.path.join(out, "models", "model_average.ckpt"))
 
+    # from_dataset_partition mode (ref src/utils/lm_dataloader.py:11:
+    # ".csv" in path): a split CSV whose transcription_path files hold the
+    # text — the shipped splits/ manifests can feed LM training directly
+    import pandas as pd
+
+    texts = ["ABA CAD", "BIG DIG", "FACE HID"]
+    tdir = tmp_path / "trans"
+    tdir.mkdir()
+    rows = []
+    for i, t in enumerate(texts):
+        tp = tdir / f"utt{i}.txt"
+        tp.write_text(t.lower() + "\nsecond line ignored\n")
+        rows.append({"database": "LIP-RTVE", "sampleID": f"utt{i}",
+                     "nframes": 10, "wav_path": "x.wav", "lips_path": "x.npz",
+                     "transcription_path": str(tp)})
+    csv_path = str(tmp_path / "split.csv")
+    pd.DataFrame(rows).to_csv(csv_path)
+    from tailored_avsr_tpu.data import get_tokenizer_converter
+    from tailored_avsr_tpu.utils import load_config
+
+    tokenizer, converter = get_tokenizer_converter(load_config(cfg_path))
+    ds_csv = lm_main.LMTextDataset(csv_path, tokenizer, converter)
+    ds_txt = lm_main.LMTextDataset(text_path, tokenizer, converter)
+    assert len(ds_csv) == len(ds_txt) == 3
+    for a, b in zip(ds_csv.ids, ds_txt.ids):
+        np.testing.assert_array_equal(a, b)
+    out2 = str(tmp_path / "exp_csv")
+    lm_main.main([
+        "--config-file", cfg_path,
+        "--training-dataset", csv_path,
+        "--output-dir", out2,
+    ])
+    assert os.path.exists(os.path.join(out2, "models", "model_average.ckpt"))
+
 
 def test_host_sharded_global_batch():
     """Per-process local batch -> global batch-sharded arrays (single-process
