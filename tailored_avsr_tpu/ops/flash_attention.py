@@ -25,8 +25,66 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 NEG_INF = -1.0e30
+
+
+def _def_batch_partition(op, core, batch_dims, rule):
+    """Register a batch-dim GSPMD/Shardy partitioning rule on ``op``.
+
+    The flash kernels are embarrassingly parallel over the batch dimension
+    and nothing else (attention is global over keys). Without a rule, a
+    pallas_call under a ``jit`` over a mesh forces operand replication — the
+    exact silent fallback pod-batched decoding must not take. With this rule
+    the kernel runs per batch shard on whatever mesh axes the caller put on
+    dim 0 of ``q``; operands listed with ``batch_dims[i] is None`` (e.g. the
+    per-head rel-pos table) are replicated, and any other incoming sharding
+    is re-sharded at the op boundary.
+
+    ``core`` is the undecorated implementation (arrays first, then the
+    static args, which custom_partitioning prepends to the callbacks).
+    """
+
+    def _spec(rank, bdim, baxis):
+        parts = [None] * rank
+        if bdim is not None and baxis is not None:
+            parts[bdim] = baxis
+        return P(*parts)
+
+    def _baxis(arg_shapes):
+        qspec = arg_shapes[0].sharding.spec
+        return qspec[0] if len(qspec) else None
+
+    def infer(*a):
+        mesh, arg_shapes, result_shape = a[-3], a[-2], a[-1]
+        return NamedSharding(
+            mesh, _spec(len(result_shape.shape), 0, _baxis(arg_shapes))
+        )
+
+    def partition(*a):
+        statics = a[:-3]
+        mesh, arg_shapes, result_shape = a[-3:]
+        baxis = _baxis(arg_shapes)
+        arg_sh = tuple(
+            NamedSharding(mesh, _spec(len(s.shape), bd, baxis))
+            for s, bd in zip(arg_shapes, batch_dims)
+        )
+        out_sh = NamedSharding(
+            mesh, _spec(len(result_shape.shape), 0, baxis)
+        )
+
+        def lower(*arrays):
+            return core(*arrays, *statics)
+
+        return mesh, lower, out_sh, arg_sh
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
 
 
 def _attn_kernel(
@@ -152,20 +210,16 @@ def _attn_rel_kernel(
         ).astype(o_ref.dtype)
 
 
-def flash_attention_relpos(
+def _flash_relpos_core(
     q: jnp.ndarray,  # (B, H, T, dk) content query (q + pos_bias_u)
     k: jnp.ndarray,
     v: jnp.ndarray,
     q_rel: jnp.ndarray,  # (B, H, T, dk) positional query (q + pos_bias_v)
     pos: jnp.ndarray,  # (H, 2T-1, dk) per-head projected rel table
-    mask: Optional[jnp.ndarray] = None,  # (B, T) True = valid key
+    mask: jnp.ndarray,  # (B, T) True = valid key
     block: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused XL rel-pos flash attention with the Toeplitz term computed
-    in-kernel (see _attn_rel_kernel). Equivalent to
-    ``flash_attention(q, k, v, bias=rel_shift(q_rel @ pos^T), mask)`` without
-    ever materializing the (B, H, T, T) bias in HBM."""
     b, h, t, dk = q.shape
     scale = 1.0 / (dk ** 0.5)
     tp = -(-t // block) * block  # padded length (square blocks)
@@ -173,8 +227,6 @@ def flash_attention_relpos(
     if pad:
         zp = ((0, 0), (0, 0), (0, pad), (0, 0))
         q, k, v, q_rel = (jnp.pad(x, zp) for x in (q, k, v, q_rel))
-    if mask is None:
-        mask = jnp.ones((b, t), bool)
     key_mask = jnp.pad(mask, ((0, 0), (0, pad))).astype(jnp.int32)[:, None, :]
 
     n = tp // block
@@ -230,12 +282,44 @@ def flash_attention_relpos(
     return out.reshape(b, h, tp, dk)[:, :, :t, :]
 
 
-def flash_attention(
+_flash_relpos_p = custom_partitioning(
+    _flash_relpos_core, static_argnums=(6, 7)
+)
+_def_batch_partition(
+    _flash_relpos_p, _flash_relpos_core,
+    batch_dims=(0, 0, 0, 0, None, 0),
+    rule="b h t d, b h s d, b h s d, b h t d, h r d, b s -> b h t d",
+)
+
+
+def flash_attention_relpos(
+    q: jnp.ndarray,  # (B, H, T, dk) content query (q + pos_bias_u)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_rel: jnp.ndarray,  # (B, H, T, dk) positional query (q + pos_bias_v)
+    pos: jnp.ndarray,  # (H, 2T-1, dk) per-head projected rel table
+    mask: Optional[jnp.ndarray] = None,  # (B, T) True = valid key
+    block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused XL rel-pos flash attention with the Toeplitz term computed
+    in-kernel (see _attn_rel_kernel). Equivalent to
+    ``flash_attention(q, k, v, bias=rel_shift(q_rel @ pos^T), mask)`` without
+    ever materializing the (B, H, T, T) bias in HBM.
+
+    Carries a batch-dim partitioning rule (``_def_batch_partition``): under a
+    mesh the kernel runs per batch shard instead of forcing replication."""
+    if mask is None:
+        mask = jnp.ones((q.shape[0], q.shape[2]), bool)
+    return _flash_relpos_p(q, k, v, q_rel, pos, mask, block, interpret)
+
+
+def _flash_core(
     q: jnp.ndarray,  # (B, H, T, dk) — pre-biased query (q + pos_bias_u)
     k: jnp.ndarray,
     v: jnp.ndarray,
-    bias: Optional[jnp.ndarray] = None,  # (B, H, T, T) additive, pre-scale
-    mask: Optional[jnp.ndarray] = None,  # (B, T) True = valid key
+    bias: Optional[jnp.ndarray],  # (B, H, T, T) additive, pre-scale, or None
+    mask: jnp.ndarray,  # (B, T) True = valid key
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
@@ -255,8 +339,6 @@ def flash_attention(
     has_bias = bias is not None
     if has_bias and (pad_q or pad_k):
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad_q), (0, pad_k)))
-    if mask is None:
-        mask = jnp.ones((b, t), bool)
     key_mask = jnp.pad(mask, ((0, 0), (0, pad_k))).astype(jnp.int32)[:, None, :]  # (B,1,TK)
 
     bh = b * h
@@ -296,3 +378,48 @@ def flash_attention(
         interpret=interpret,
     )(*inputs)
     return out.reshape(b, h, tq, dk)[:, :, :t, :]
+
+
+def _flash_bias_core(q, k, v, bias, mask, block_q, block_k, interpret):
+    return _flash_core(q, k, v, bias, mask, block_q, block_k, interpret)
+
+
+def _flash_nobias_core(q, k, v, mask, block_q, block_k, interpret):
+    return _flash_core(q, k, v, None, mask, block_q, block_k, interpret)
+
+
+_flash_bias_p = custom_partitioning(_flash_bias_core, static_argnums=(5, 6, 7))
+_def_batch_partition(
+    _flash_bias_p, _flash_bias_core,
+    batch_dims=(0, 0, 0, 0, 0),
+    rule="b h t d, b h s d, b h s d, b h t s, b s -> b h t d",
+)
+_flash_nobias_p = custom_partitioning(
+    _flash_nobias_core, static_argnums=(4, 5, 6)
+)
+_def_batch_partition(
+    _flash_nobias_p, _flash_nobias_core,
+    batch_dims=(0, 0, 0, 0),
+    rule="b h t d, b h s d, b h s d, b s -> b h t d",
+)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, H, T, dk) — pre-biased query (q + pos_bias_u)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,  # (B, H, T, T) additive, pre-scale
+    mask: Optional[jnp.ndarray] = None,  # (B, T) True = valid key
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with optional additive bias (see module docstring).
+
+    Carries a batch-dim partitioning rule (``_def_batch_partition``): under a
+    mesh the kernel runs per batch shard instead of forcing replication."""
+    if mask is None:
+        mask = jnp.ones((q.shape[0], q.shape[2]), bool)
+    if bias is None:
+        return _flash_nobias_p(q, k, v, mask, block_q, block_k, interpret)
+    return _flash_bias_p(q, k, v, bias, mask, block_q, block_k, interpret)

@@ -97,3 +97,53 @@ def test_flash_relpos_inkernel_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
     # sanity: rel_pos_table provides the (2T-1) layout this kernel consumes
     assert rel_pos_table(t, dk).shape == (2 * t - 1, dk)
+
+
+def test_flash_batch_partitioning_under_mesh():
+    """The flash kernels carry a custom_partitioning batch rule: under a
+    data mesh the pallas_call runs per batch shard (no replication
+    fallback), output batch-sharded, numerics identical to single-device."""
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tailored_avsr_tpu.parallel.mesh import make_mesh
+    from tailored_avsr_tpu.ops.flash_attention import flash_attention_relpos
+
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(5)
+    b, h, t, dk = 8, 2, 40, 16
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, h, t, dk))
+    k = jax.random.normal(ks[1], (b, h, t, dk))
+    v = jax.random.normal(ks[2], (b, h, t, dk))
+    bias = jax.random.normal(ks[3], (b, h, t, t))
+    mask = jnp.arange(t)[None, :] < jnp.full((b, 1), t - 7)
+    want = flash_attention(q, k, v, bias, mask, block_q=16, block_k=16,
+                           interpret=True)
+
+    ds = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(x, ds) for x in (q, k, v, bias, mask)]
+    with mesh:
+        got = jax.jit(
+            lambda *a: flash_attention(*a, block_q=16, block_k=16,
+                                       interpret=True)
+        )(*args)
+    assert "data" in str(got.sharding.spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # rel-pos variant: per-head table replicated, batch operands sharded
+    qv = jax.random.normal(ks[4], (b, h, t, dk))
+    pos = jax.random.normal(jax.random.fold_in(key, 9), (h, 2 * t - 1, dk))
+    want2 = flash_attention_relpos(q, k, v, qv, pos, mask=mask, block=16,
+                                   interpret=True)
+    with mesh:
+        got2 = jax.jit(
+            lambda a, b_, c, d, e, f: flash_attention_relpos(
+                a, b_, c, d, e, mask=f, block=16, interpret=True
+            )
+        )(*[jax.device_put(x, ds) for x in (q, k, v, qv)], pos,
+          jax.device_put(mask, ds))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=2e-5)
