@@ -70,7 +70,7 @@ def _csgu_call(b: int, tpad: int, c: int, k: int, t: int, dtype, interpret: bool
     )
 
 
-def fused_csgu(
+def _csgu_core(
     x: jnp.ndarray,  # (B, T, U) — the channel_proj1+GELU output
     gamma: jnp.ndarray,  # (U/2,) LN scale
     beta: jnp.ndarray,  # (U/2,) LN bias
@@ -78,7 +78,6 @@ def fused_csgu(
     conv_b: jnp.ndarray,  # (U/2,)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns (B, T, U/2) gated output; identity gate activation."""
     b, t, u = x.shape
     c = u // 2
     k = conv_w.shape[0]
@@ -92,3 +91,31 @@ def fused_csgu(
     call = _csgu_call(b, tpad, c, k, t, jnp.dtype(x.dtype), interpret)
     out = call(x_r, x_g, gamma[None], beta[None], w, conv_b[None])
     return out[:, :t, :]
+
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+
+from tailored_avsr_tpu.ops.flash_attention import _def_batch_partition  # noqa: E402
+
+_csgu_p = custom_partitioning(_csgu_core, static_argnums=(5,))
+_def_batch_partition(
+    _csgu_p, _csgu_core,
+    batch_dims=(0, None, None, None, None),
+    rule="b t u, c, c, k o c, c -> b t c",
+)
+
+
+def fused_csgu(
+    x: jnp.ndarray,  # (B, T, U) — the channel_proj1+GELU output
+    gamma: jnp.ndarray,  # (U/2,) LN scale
+    beta: jnp.ndarray,  # (U/2,) LN bias
+    conv_w: jnp.ndarray,  # (k, 1, U/2) depthwise kernel (flax layout)
+    conv_b: jnp.ndarray,  # (U/2,)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, T, U/2) gated output; identity gate activation.
+
+    Carries a batch-dim partitioning rule (see flash_attention's
+    ``_def_batch_partition``): under a mesh the kernel runs per batch shard,
+    parameters replicated."""
+    return _csgu_p(x, gamma, beta, conv_w, conv_b, interpret)

@@ -42,3 +42,35 @@ def test_cgmlp_fused_flag_matches():
     with pltpu.force_tpu_interpret_mode():
         got = m1.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_fused_csgu_batch_partitioning_under_mesh():
+    """Under a data mesh the CSGU kernel runs per batch shard (its
+    custom_partitioning rule), parameters replicated, numerics identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tailored_avsr_tpu.parallel.mesh import make_mesh
+    from tailored_avsr_tpu.ops.fused_csgu import fused_csgu
+
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(0)
+    b, t, u = 8, 12, 32
+    x = jnp.asarray(rng.randn(b, t, u), jnp.float32)
+    gamma = jnp.ones((u // 2,))
+    beta = jnp.zeros((u // 2,))
+    w = jnp.asarray(rng.randn(5, 1, u // 2), jnp.float32) * 0.1
+    cb = jnp.zeros((u // 2,))
+    want = fused_csgu(x, gamma, beta, w, cb, interpret=True)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with mesh:
+        got = jax.jit(lambda *a: fused_csgu(*a, interpret=True))(
+            xs, gamma, beta, w, cb
+        )
+    assert "data" in str(got.sharding.spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
