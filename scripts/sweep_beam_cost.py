@@ -89,6 +89,20 @@ def main():
                 # off); approximate per-step cost for bisection notes
                 "ms_per_step": round(dt * 1e3 / frames, 2),
             }
+            # MFU of the compiled decode graph (XLA cost analysis / wall /
+            # chip peak), same accounting as bench.py
+            try:
+                import bench
+
+                bargs = s2t._shard_args(s2t._model_args(d))
+                key = tuple((a.shape, str(a.dtype)) for a in bargs)
+                flops = bench.graph_flops(
+                    s2t._decode_jit[key], s2t.variables, *bargs
+                )
+                peak = bench.peak_for(jax.devices()[0])
+                line.update(bench.perf_fields(flops, dt, peak, b))
+            except Exception:
+                pass
             if lm_on:  # params are lazily initialized by the first decode
                 line["lm_param_dtypes"] = sorted({
                     str(x.dtype)
