@@ -144,6 +144,13 @@ def init_backend(timeout_s: float):
         try:
             import jax
 
+            # this image's sitecustomize pre-imports jax pinned to the axon
+            # tunnel; honor an explicit JAX_PLATFORMS override (the env var
+            # alone is ignored once the config is set) so CPU dress
+            # rehearsals (--tiny) actually run on CPU
+            want = os.environ.get("JAX_PLATFORMS")
+            if want and jax.config.jax_platforms != want:
+                jax.config.update("jax_platforms", want)
             result["devices"] = jax.devices()
         except Exception as e:  # noqa: BLE001 — report whatever init raised
             result["error"] = f"{type(e).__name__}: {e}"
@@ -185,15 +192,20 @@ def bench_greedy(model_pack, metric: str):
 def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
                samples, metric: str):
     """Joint CTC/attention + LM beam decode — the WER-parity serving path."""
+    from __graft_entry__ import _flagship_cfg
     from tailored_avsr_tpu.inference import Speech2Text
     from tailored_avsr_tpu.utils.config import load_config
 
-    cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
+    cfg = _flagship_cfg(tiny=args_cli.tiny)
     lm_cfg = load_config("configs/LM/lm-spanish.yaml")
+    if args_cli.tiny:
+        lm_cfg.lm_conf = dict(
+            lm_cfg.lm_conf, att_unit=64, unit=96, head=2, layer=2
+        )
     if on_tpu:
         cfg.dtype = "bfloat16"
         cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
-    beam_batch = args_cli.beam_batch
+    beam_batch = 2 if args_cli.tiny else args_cli.beam_batch
     cfg.inference_conf = dict(
         cfg.inference_conf, beam_size=10, ctc_weight=0.1, lm_weight=0.4,
         early_exit=False,
@@ -223,7 +235,7 @@ def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
          batch=beam_batch, **perf_fields(flops_b, dt_b, peak_tf, beam_batch))
 
 
-def bench_train(on_tpu, peak_tf, metric: str):
+def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -231,7 +243,7 @@ def bench_train(on_tpu, peak_tf, metric: str):
     from __graft_entry__ import _build_flagship
 
     rng = np.random.RandomState(7)
-    tb, tframes = 16, 100
+    tb, tframes = (2, 16) if tiny else (16, 100)
     tsamples = tframes * 640
     t_audio = jnp.asarray(rng.randn(tb, tsamples).astype(np.float32) * 0.1)
     t_alens = jnp.full((tb,), tsamples, np.int32)
@@ -239,7 +251,7 @@ def bench_train(on_tpu, peak_tf, metric: str):
     t_vlens = jnp.full((tb,), tframes, np.int32)
     t_text = jnp.asarray(rng.randint(3, 30, (tb, 30)), np.int32)
     t_tlens = jnp.full((tb,), 30, np.int32)
-    tmodel = _build_flagship(use_flash=False)
+    tmodel = _build_flagship(tiny=tiny, use_flash=False)
     tvars = tmodel.init(
         {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)},
         t_audio[:2], t_alens[:2], t_video[:2], t_vlens[:2],
@@ -296,6 +308,11 @@ def main():
              "(fractions of max length or absolute columns)",
     )
     parser.add_argument(
+        "--tiny", action="store_true",
+        help="shrunk model/batch smoke run (CPU dress rehearsal of the "
+             "full three-stage capture; numbers are not meaningful)",
+    )
+    parser.add_argument(
         "--backend-timeout", type=float, default=420.0,
         help="seconds to wait for JAX backend init before emitting "
              "structured tpu_unavailable records",
@@ -328,7 +345,7 @@ def main():
 
     # 4-second utterances at 25 fps; throughput saturates at batch 128
     # (honest-fetch RTF: 1136x @32, 1529x @64, 2958x @128, 3016x @256)
-    batch, frames = 128, 100
+    batch, frames = (2, 16) if args_cli.tiny else (128, 100)
     rng = np.random.RandomState(0)
     samples = frames * 640
     audio = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
@@ -337,7 +354,7 @@ def main():
     vlens = jnp.full((batch,), frames, np.int32)
 
     try:
-        model = _build_flagship(use_flash=on_tpu)
+        model = _build_flagship(tiny=args_cli.tiny, use_flash=on_tpu)
         # init on a 2-row batch (params are batch-independent; avoids
         # compiling a second full-size graph just for initialization)
         variables = model.init(
@@ -370,7 +387,7 @@ def main():
         emit_error(STAGES[1], f"{type(e).__name__}: {e}")
 
     try:
-        bench_train(on_tpu, peak_tf, STAGES[2])
+        bench_train(on_tpu, peak_tf, STAGES[2], tiny=args_cli.tiny)
     except Exception as e:  # noqa: BLE001
         emit_error(STAGES[2], f"{type(e).__name__}: {e}")
 
