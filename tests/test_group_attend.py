@@ -130,3 +130,24 @@ def test_long_lc_head_blocked_grid():
     np.testing.assert_allclose(
         np.asarray(got, np.float64), want, rtol=1e-4, atol=1e-5
     )
+
+
+def test_edge_shapes_beam1_minlc_wide_dk():
+    """Pre-TPU edge hardening: beam 1 (single-slot groups, K*Lc sublane
+    collapse degenerates), minimal 8-column cache, and dk=128 (full lane
+    width) must all match the oracle."""
+    rng = np.random.RandomState(6)
+    cases = [
+        (1, 2, 1, 8, 16, 5),    # beam 1
+        (3, 1, 2, 8, 8, 8),     # minimal Lc, pos at the last column
+        (2, 2, 3, 16, 128, 9),  # dk = full lane width
+        (2, 2, 10, 16, 64, 16), # pos == lc (overshoot step's attend)
+    ]
+    for b, h, km, lc, dk, pos in cases:
+        k, v, q, k_new, v_new, anc = make_case(rng, b, h, km, lc, dk, pos)
+        got = group_attend_anc(k, v, q, k_new, v_new, anc, pos, interpret=True)
+        want = ref_group_attend(k, v, q, k_new, v_new, anc, pos)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float64), want, rtol=1e-4, atol=1e-5,
+            err_msg=f"case {(b, h, km, lc, dk, pos)}",
+        )
