@@ -1,0 +1,80 @@
+#!/bin/bash
+# One-shot measurement plan for the moment the TPU tunnel returns.
+#
+# Waits for the backend, then runs (in order, each logged + retried once):
+#   1. probe_kernels_tpu.py      — compiled numerics gate for the 3 Pallas kernels
+#   2. sweep_beam_cost.py        — ancestry beam RTF/MFU sweep, batches 32/64/128
+#   3. bench_stem.py             — visual-stem roofline (VERDICT r2 item 7)
+#   4. bench.py --beam-batch <w> — driver-format capture at the sweep's winner
+#
+# Run detached:  nohup scripts/tpu_day.sh > /tmp/tpuday/driver.log 2>&1 &
+# Poll:          cat /tmp/tpuday/status; tail /tmp/tpuday/*.log
+set -u
+export PYTHONPATH=/root/.axon_site
+cd /root/repo
+LOG=/tmp/tpuday
+mkdir -p "$LOG"
+: > "$LOG/status"
+
+note() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG/status"; }
+
+note "waiting for TPU backend..."
+while true; do
+  if timeout 150 python -c "
+import jax, numpy as np, jax.numpy as jnp
+d = jax.devices(); assert d[0].platform != 'cpu'
+x = jnp.ones((128,128), jnp.bfloat16)
+np.asarray(x @ x)
+" 2>"$LOG/wait_err.log"; then
+    note "TPU BACK"
+    break
+  fi
+  sleep 90
+done
+
+run_stage() { # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  for attempt in 1 2; do
+    note "stage $name attempt $attempt: $*"
+    if timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1; then
+      note "stage $name OK"
+      return 0
+    fi
+    note "stage $name FAILED rc=$? (attempt $attempt), tail:"
+    tail -3 "$LOG/$name.log" | tee -a "$LOG/status"
+    sleep 60
+  done
+  return 1
+}
+
+if ! run_stage probe 1800 python scripts/probe_kernels_tpu.py; then
+  note "ABORT: kernel probe failed — do not time the fused path"
+  exit 1
+fi
+grep -q "KERNEL PROBE OK" "$LOG/probe.log" || { note "ABORT: probe incomplete"; exit 1; }
+
+run_stage sweep 10800 python scripts/sweep_beam_cost.py \
+  --batches 32,64,128 --variants att+ctc+lm
+
+run_stage stem 3600 python scripts/bench_stem.py --batch 128
+
+WINNER=$(python - <<'EOF'
+import json
+best, bb = -1.0, 32
+try:
+    for line in open("/tmp/tpuday/sweep.log"):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        d = json.loads(line)
+        if d.get("rtf", -1) > best:
+            best, bb = d["rtf"], d["batch"]
+except Exception:
+    pass
+print(bb)
+EOF
+)
+note "sweep winner batch=$WINNER"
+
+run_stage bench 7200 python bench.py --beam-batch "$WINNER"
+note "ALL DONE"
