@@ -21,6 +21,9 @@ Prints one JSON line per configuration plus a summary table.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import json
 import sys

@@ -4,6 +4,9 @@ Isolates the per-step cache-row gather of the beam search at joint-beam dims
 (6 layers x (K, V) x (N, H, Lc, dk)) across layouts and dtypes.
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import time
 
 import jax

@@ -17,6 +17,9 @@ Layouts:
   copy   control: force a full materialization of every leaf per step
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import json
 import time

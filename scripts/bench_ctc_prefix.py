@@ -5,6 +5,9 @@ against the previous candidate-minor sequential lax.scan formulation at
 joint-beam-search dims, reporting ms/100 steps on the default device.
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import time
 
 import jax

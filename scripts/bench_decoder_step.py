@@ -6,6 +6,9 @@ gather) at joint-beam dims, with variants to isolate where the time goes:
   nogather — step only (cache updated, no beam reorder)
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import time
 
 import jax

@@ -4,6 +4,9 @@
 2. flash kernel with XLA-materialized (B, H, T, T) bias streamed in
 3. flash kernel with the Toeplitz term computed in-kernel (barrel shifter)
 """
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import time
 
 import jax

@@ -12,6 +12,9 @@ Stages (cumulative):
   full       trunk + reorder (the real per-step pattern)
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import json
 import time

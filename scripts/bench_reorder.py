@@ -13,6 +13,9 @@ Formulations:
   onehot_vpu       masked sum over K with broadcasting (k reads, no matmul)
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import json
 import time

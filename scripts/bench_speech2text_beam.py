@@ -5,6 +5,9 @@ search + host detokenization) at batch 8, beam 10, 4-second utterances —
 the configuration DESIGN.md's earlier 36x-RT figure was recorded at.
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import time
 
 import numpy as np

@@ -15,6 +15,9 @@ Usage: PYTHONPATH=/root/.axon_site python scripts/bench_stem.py [--batch 128]
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import json
 import time

@@ -3,6 +3,9 @@
 decode with and without the LM, at a given (batch, beam). Device-resident
 timing with honest result fetch."""
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import json
 import time

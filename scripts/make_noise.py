@@ -10,6 +10,9 @@ instead of copying the binaries — white = flat PSD gaussian, pink = 1/f PSD
 Usage: python scripts/make_noise.py [outdir=assets/noise]
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import os
 import sys
 import wave

@@ -7,6 +7,9 @@ the per-step cost of the beam loop's cache gathers / attention / DP shows up
 as a ranked table.
 """
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import glob
 import gzip

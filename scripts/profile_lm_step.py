@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Profile the folded-LM beam-step micro-loop (fast compile) and rank ops."""
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import glob
 import gzip

@@ -4,6 +4,9 @@ graph with (attention-only | +CTC prefix | +LM) at given batch/beam, reports
 ms-per-step for each increment, and checks the LM cache dtype actually
 matches the compute dtype. Device-resident timing with honest result fetch."""
 
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+
 import argparse
 import json
 import time
@@ -37,6 +40,9 @@ def main():
     ap.add_argument("--phase-widths", default="",
                     help="comma-separated phased attend widths (fractions "
                          "<=1 of max length or absolute columns)")
+    ap.add_argument("--fused", default="auto", choices=["auto", "0", "1"],
+                    help="group-attend kernel A/B: auto = Pallas on TPU, "
+                         "0 = force the XLA formulation, 1 = force Pallas")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +79,8 @@ def main():
                 lm_weight=0.4 if lm_on else 0.0, early_exit=False,
                 cache_protocol=args.protocol, unroll=args.unroll,
             )
+            if args.fused != "auto":
+                cfg.inference_conf["fused_group_attend"] = args.fused == "1"
             if args.phase_widths:
                 cfg.inference_conf["phase_widths"] = [
                     float(x) for x in args.phase_widths.split(",")
@@ -82,7 +90,7 @@ def main():
             dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
             line = {
                 "batch": b, "protocol": args.protocol, "unroll": args.unroll,
-                "phases": args.phase_widths or None,
+                "fused": args.fused, "phases": args.phase_widths or None,
                 "variant": variant, "ms": round(dt * 1e3, 1),
                 "rtf": round(secs / dt, 1),
                 # the full loop runs ~one step per encoder frame (early_exit

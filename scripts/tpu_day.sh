@@ -10,7 +10,7 @@
 # Run detached:  nohup scripts/tpu_day.sh > /tmp/tpuday/driver.log 2>&1 &
 # Poll:          cat /tmp/tpuday/status; tail /tmp/tpuday/*.log
 set -u
-export PYTHONPATH=/root/.axon_site
+export PYTHONPATH=/root/.axon_site:/root/repo
 cd /root/repo
 LOG=/tmp/tpuday
 mkdir -p "$LOG"
@@ -56,8 +56,6 @@ grep -q "KERNEL PROBE OK" "$LOG/probe.log" || { note "ABORT: probe incomplete"; 
 run_stage sweep 10800 python scripts/sweep_beam_cost.py \
   --batches 32,64,128 --variants att+ctc+lm
 
-run_stage stem 3600 python scripts/bench_stem.py --batch 128
-
 WINNER=$(python - <<'EOF'
 import json
 best, bb = -1.0, 32
@@ -77,4 +75,14 @@ EOF
 note "sweep winner batch=$WINNER"
 
 run_stage bench 7200 python bench.py --beam-batch "$WINNER"
+
+run_stage stem 3600 python scripts/bench_stem.py --batch 128
+
+# A/B evidence (optional, after the driver-critical captures):
+#   fused Pallas group attend vs the XLA formulation, and the ancestry
+#   protocol vs the round-1 append/permute protocol, at the winner batch
+run_stage ab_xla 3600 python scripts/sweep_beam_cost.py \
+  --batches "$WINNER" --variants att+ctc+lm --fused 0
+run_stage ab_append 3600 python scripts/sweep_beam_cost.py \
+  --batches "$WINNER" --variants att+ctc+lm --protocol append
 note "ALL DONE"
