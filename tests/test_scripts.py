@@ -168,3 +168,25 @@ def test_get_val_accs_and_val_accs_averaging(corpus, tmp_path):
         if hasattr(x, "dtype") and x.dtype == np.float32
     )
     np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref), rtol=1e-6)
+
+
+def test_create_gif(tmp_path):
+    """Branch-score GIF stitching (ref src/scripts/create_gif.py): pairs
+    per-epoch ASR/VSR heatmaps side by side and writes one looping GIF."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    for d in ["asr", "vsr"]:
+        os.makedirs(tmp_path / d)
+        for e in [1, 2]:
+            arr = (np.random.RandomState(e).rand(40, 60, 3) * 255).astype("uint8")
+            Image.fromarray(arr).save(tmp_path / d / f"heatmap_epoch{e}.png")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
+    import importlib
+
+    cg = importlib.import_module("create_gif")
+    out = str(tmp_path / "branches.gif")
+    assert cg.main([str(tmp_path / "asr"), str(tmp_path / "vsr"), out]) == 0
+    im = Image.open(out)
+    assert im.size == (120, 40)  # two 60x40 heatmaps side by side
+    assert getattr(im, "n_frames", 1) >= 2  # animated
