@@ -94,6 +94,7 @@ def run_training(args, config, tokenizer, converter, transforms):
             ds, ts["batch_size"], task=task,
             audio_transforms=audio_tf, video_transforms=video_tf,
             tokenizer=tokenizer, converter=converter, is_training=is_training,
+            workers=int(ts.get("num_workers", 0) or 0),
         )
 
     train_loader = loader(args.training_dataset, True, transforms["train_audio"], transforms["train_video"])

@@ -56,6 +56,11 @@ class AVSRDataLoader:
         bucket_text: int = 8,
         prefetch: int = 2,
         drop_last: bool = False,
+        workers: int = 0,  # >1: parallel sample reads (IO/npz decode) with
+        #   batch read-ahead — the config's training_settings num_workers
+        #   (ref avsr_dataloader.py:32). Transforms stay on the single
+        #   producer thread, so augmentation RNG draw order (and therefore
+        #   every batch) is byte-identical to the serial loader.
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -72,6 +77,7 @@ class AVSRDataLoader:
         self.bucket_text = bucket_text
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.workers = int(workers)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -164,9 +170,38 @@ class AVSRDataLoader:
 
         def producer():
             try:
-                for b in batches:
-                    if not put(self._collate([self.dataset[i] for i in b])):
-                        return
+                if self.workers > 1:
+                    # parallel reads (numpy/zlib release the GIL), serial
+                    # transforms+collate: deterministic and IO-overlapped
+                    from collections import deque
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    ex = ThreadPoolExecutor(max_workers=self.workers)
+                    try:
+                        it = iter(batches)
+                        pending: deque = deque()
+
+                        def submit_next():
+                            b = next(it, None)
+                            if b is not None:
+                                pending.append(
+                                    [ex.submit(self.dataset.__getitem__, i)
+                                     for i in b]
+                                )
+
+                        for _ in range(max(2, self.prefetch)):
+                            submit_next()
+                        while pending:
+                            samples = [f.result() for f in pending.popleft()]
+                            submit_next()
+                            if not put(self._collate(samples)):
+                                return
+                    finally:
+                        ex.shutdown(wait=False, cancel_futures=True)
+                else:
+                    for b in batches:
+                        if not put(self._collate([self.dataset[i] for i in b])):
+                            return
             except BaseException as e:  # propagate to the consumer
                 put(e)
                 return

@@ -192,13 +192,15 @@ def test_dataloader_propagates_producer_errors(tmp_path):
         def text2tokens(self, text):
             return list(text)
 
-    dl = AVSRDataLoader(BadDataset(), 2, task="asr", tokenizer=Tok(),
-                        converter=IdConv(), is_training=False)
     import pytest as _pytest
 
-    with _pytest.raises(RuntimeError, match="corrupt sample"):
-        for _ in dl:
-            pass
+    for workers in (0, 4):  # serial and parallel-read producers
+        dl = AVSRDataLoader(BadDataset(), 2, task="asr", tokenizer=Tok(),
+                            converter=IdConv(), is_training=False,
+                            workers=workers)
+        with _pytest.raises(RuntimeError, match="corrupt sample"):
+            for _ in dl:
+                pass
 
 
 def test_dataloader_abandoned_iterator_releases_producer(tmp_path):
@@ -237,3 +239,33 @@ def test_dataloader_abandoned_iterator_releases_producer(tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_loader_workers_deterministic(corpus):
+    """workers>1 parallelizes sample reads only — every batch (including
+    RandomCrop/TimeMasking augmentation draws) must be byte-identical to the
+    serial loader, across epochs."""
+    csv_path, token_path = corpus
+    tl = load_token_list(token_path)
+
+    def batches(workers):
+        ds = AVSRDataset(csv_path, task="avsr", is_training=True)
+        rng = np.random.RandomState(7)
+        loader = AVSRDataLoader(
+            ds, batch_size=2, task="avsr",
+            video_transforms=Compose([
+                Normalise(0.0, 250.0), RandomCrop((88, 88), rng=rng),
+            ]),
+            tokenizer=CharTokenizer(), converter=TokenIDConverter(tl),
+            is_training=True, seed=0, workers=workers,
+        )
+        return [b for _ in range(2) for b in loader]  # two epochs
+
+    serial = batches(0)
+    parallel = batches(4)
+    assert len(serial) == len(parallel) > 0
+    for bs, bp in zip(serial, parallel):
+        assert bs["sample_id"] == bp["sample_id"]
+        np.testing.assert_array_equal(bs["video"], bp["video"])
+        np.testing.assert_array_equal(bs["audio"], bp["audio"])
+        np.testing.assert_array_equal(bs["text"], bp["text"])
