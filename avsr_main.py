@@ -299,6 +299,8 @@ def run_inference(args, config, tokenizer, converter, transforms):
         audio_transforms=transforms["eval_audio"],
         video_transforms=video_tf,
         tokenizer=tokenizer, converter=converter, is_training=False,
+        workers=int((getattr(config, "training_settings", {}) or {})
+                    .get("num_workers", 0) or 0),
     )
     def masked_batches():
         for batch in loader:
