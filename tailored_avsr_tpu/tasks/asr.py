@@ -15,6 +15,7 @@ from tailored_avsr_tpu.models.asr_model import ASRModel
 from tailored_avsr_tpu.models.ctc import CTCHead
 from tailored_avsr_tpu.models.maskctc import MaskCTCModel
 from tailored_avsr_tpu.tasks.common import (
+    check_dropped_key,
     build_decoder,
     build_encoder,
     build_frontend,
@@ -90,6 +91,7 @@ class ASRTask:
             )
 
         ctc_conf = dict(getattr(config, "ctc_conf", {}) or {})
+        check_dropped_key("ctc_conf", "ctc_type", ctc_conf.get("ctc_type", "builtin"))
         ctc = CTCHead(
             vocab_size=vocab_size,
             dropout_rate=float(ctc_conf.get("dropout_rate", 0.0)),

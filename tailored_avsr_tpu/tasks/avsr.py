@@ -19,6 +19,7 @@ from tailored_avsr_tpu.models.fusion import AdaptiveAudioVisualFusion
 from tailored_avsr_tpu.models.maskctc import AVSRMaskCTCModel
 from tailored_avsr_tpu.models.tailored import TailoredEncoder
 from tailored_avsr_tpu.tasks.common import (
+    check_dropped_key,
     build_decoder,
     build_frontend,
     build_normalize,
@@ -157,6 +158,7 @@ class AVSRTask:
             )
 
         ctc_conf = dict(getattr(config, "ctc_conf", {}) or {})
+        check_dropped_key("ctc_conf", "ctc_type", ctc_conf.get("ctc_type", "builtin"))
         ctc = CTCHead(
             vocab_size=vocab_size,
             dropout_rate=float(ctc_conf.get("dropout_rate", 0.0)),

@@ -20,8 +20,36 @@ from tailored_avsr_tpu.ops.specaug import SpecAug
 logger = logging.getLogger(__name__)
 
 
+# Schema keys the builders intentionally do not model — safe to drop ONLY at
+# their reference-default values. Any other value would silently change the
+# built model (e.g. a conv1d FFN asked for, a linear one built), so it raises
+# instead. Mirrors the reference's own behavior: its encoders accept only
+# positionwise_layer_type in {"linear", None} (ref
+# src/encoder/branchformer/encoder.py:209, tailored/encoder.py:106-114).
+_DROPPED_KEY_ALLOWED: Dict[str, tuple] = {
+    "positionwise_layer_type": (None, "linear"),
+    # builtin2 only masks torch CTCLoss nan-gradients (ref src/ctc/ctc.py:
+    # 73-124); our masked log-space scan DP has no such pathology, so both
+    # builtins map to the same loss. gtnctc needs the GTN package — gated.
+    "ctc_type": ("builtin", "builtin2"),
+}
+
+
+def check_dropped_key(owner: str, key: str, value) -> None:
+    allowed = _DROPPED_KEY_ALLOWED.get(key)
+    if allowed is not None and value not in allowed:
+        raise NotImplementedError(
+            f"{owner} config key {key}={value!r} is not supported "
+            f"(supported values: {allowed})"
+        )
+
+
 def filter_conf(cls: Type, conf: Optional[Dict[str, Any]], **extra) -> Dict[str, Any]:
-    """Keep only constructor fields of a flax dataclass module; warn on drops."""
+    """Keep only constructor fields of a flax dataclass module; warn on drops.
+
+    Keys with *semantic* weight (``_DROPPED_KEY_ALLOWED``) are validated
+    before dropping — a non-default value raises instead of silently building
+    a different model than the config asked for."""
     conf = dict(conf or {})
     conf.update(extra)
     fields = {f.name for f in dataclasses.fields(cls)}
@@ -32,6 +60,7 @@ def filter_conf(cls: Type, conf: Optional[Dict[str, Any]], **extra) -> Dict[str,
                 v = tuple(v)
             kept[k] = v
         else:
+            check_dropped_key(cls.__name__, k, v)
             logger.debug("dropping %s config key %r", cls.__name__, k)
     return kept
 

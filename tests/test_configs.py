@@ -45,3 +45,22 @@ def test_lm_config_builds_model(path, monkeypatch):
     _, conv = get_tokenizer_converter(cfg)
     model = LMTask.build_model(cfg, conv.token_list)
     assert model.vocab_size == len(conv.token_list)
+
+
+def test_semantic_config_keys_gate_loudly():
+    """Schema keys the builders drop (positionwise_layer_type, ctc_type) must
+    raise on non-default values instead of silently building a different
+    model (ref encoder.py:209 also only accepts 'linear')."""
+    import pytest
+
+    from tailored_avsr_tpu.tasks.common import build_encoder, check_dropped_key
+
+    conf = {"output_size": 32, "attention_heads": 2, "linear_units": 48,
+            "num_blocks": 1, "cgmlp_linear_units": 48, "cgmlp_conv_kernel": 7,
+            "input_layer": "linear", "positionwise_layer_type": "linear"}
+    build_encoder("branchformer", conf)  # default value passes through
+    with pytest.raises(NotImplementedError, match="positionwise_layer_type"):
+        build_encoder("branchformer", dict(conf, positionwise_layer_type="conv1d"))
+    check_dropped_key("ctc_conf", "ctc_type", "builtin2")  # torch-only distinction
+    with pytest.raises(NotImplementedError, match="ctc_type"):
+        check_dropped_key("ctc_conf", "ctc_type", "gtnctc")
