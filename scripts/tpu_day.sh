@@ -47,11 +47,14 @@ run_stage() { # name timeout cmd...
   return 1
 }
 
-if ! run_stage probe 1800 python scripts/probe_kernels_tpu.py; then
-  note "ABORT: kernel probe failed — do not time the fused path"
-  exit 1
+if ! run_stage probe 1800 python scripts/probe_kernels_tpu.py \
+    || ! grep -q "KERNEL PROBE OK" "$LOG/probe.log"; then
+  # Never time (or let the driver bench hit) an unverified compiled kernel:
+  # fall back to the XLA group-attend formulation process-wide via the env
+  # kill-switch (ops/attention.py) so the round still captures beam numbers.
+  note "PROBE FAILED — falling back to the XLA formulation for all stages"
+  export TAVSR_FUSED_GROUP_ATTEND=0
 fi
-grep -q "KERNEL PROBE OK" "$LOG/probe.log" || { note "ABORT: probe incomplete"; exit 1; }
 
 run_stage sweep 10800 python scripts/sweep_beam_cost.py \
   --batches 32,64,128 --variants att+ctc+lm
