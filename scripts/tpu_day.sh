@@ -47,6 +47,7 @@ run_stage() { # name timeout cmd...
   return 1
 }
 
+FUSED_OK=true
 if ! run_stage probe 1800 python scripts/probe_kernels_tpu.py \
     || ! grep -q "KERNEL PROBE OK" "$LOG/probe.log"; then
   # Never time (or let the driver bench hit) an unverified compiled kernel:
@@ -54,6 +55,7 @@ if ! run_stage probe 1800 python scripts/probe_kernels_tpu.py \
   # kill-switch (ops/attention.py) so the round still captures beam numbers.
   note "PROBE FAILED — falling back to the XLA formulation for all stages"
   export TAVSR_FUSED_GROUP_ATTEND=0
+  FUSED_OK=false
 fi
 
 run_stage sweep 10800 python scripts/sweep_beam_cost.py \
@@ -76,6 +78,15 @@ print(bb)
 EOF
 )
 note "sweep winner batch=$WINNER"
+
+# Persist the measured operating point where the driver's round-end plain
+# `python bench.py` (and every future capture) will pick it up as the
+# default — winner batch + the probe's fused-kernel verdict.
+cat > /root/repo/bench_tuning.json <<EOF
+{"beam_batch": $WINNER, "fused_group_attend": $FUSED_OK,
+ "source": "scripts/tpu_day.sh sweep $(date -u +%Y-%m-%dT%H:%MZ)"}
+EOF
+note "wrote bench_tuning.json (beam_batch=$WINNER fused=$FUSED_OK)"
 
 run_stage bench 7200 python bench.py --beam-batch "$WINNER"
 

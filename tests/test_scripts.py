@@ -190,3 +190,40 @@ def test_create_gif(tmp_path):
     im = Image.open(out)
     assert im.size == (120, 40)  # two 60x40 heatmaps side by side
     assert getattr(im, "n_frames", 1) >= 2  # animated
+
+
+def test_bench_tuning_resolution(tmp_path, monkeypatch):
+    """bench.py picks up bench_tuning.json (tpu_day's sweep winner + probe
+    verdict) as the beam-stage default, with CLI flags winning."""
+    from types import SimpleNamespace
+
+    import bench
+
+    def cli(beam_batch=None, beam_phases="", tiny=False):
+        return SimpleNamespace(
+            beam_batch=beam_batch, beam_phases=beam_phases, tiny=tiny
+        )
+
+    assert bench.resolve_beam_tuning(cli(), {}) == (32, {})
+    tuning = {
+        "beam_batch": 64,
+        "fused_group_attend": False,
+        "phase_widths": [0.25, 1.0],
+    }
+    bb, ov = bench.resolve_beam_tuning(cli(), tuning)
+    assert bb == 64
+    assert ov == {"fused_group_attend": False, "phase_widths": [0.25, 1.0]}
+    # explicit CLI flags win over the tuning file
+    bb, ov = bench.resolve_beam_tuning(cli(beam_batch=128, beam_phases="0.5,1"), tuning)
+    assert bb == 128 and ov["phase_widths"] == [0.5, 1.0]
+    # tiny dress rehearsals stay tiny
+    assert bench.resolve_beam_tuning(cli(tiny=True), tuning)[0] == 2
+    # load_tuning: absent file -> {}, garbage -> {}, valid -> dict
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _: str(tmp_path), raising=True
+    )
+    assert bench.load_tuning() == {}
+    (tmp_path / "bench_tuning.json").write_text("not json")
+    assert bench.load_tuning() == {}
+    (tmp_path / "bench_tuning.json").write_text('{"beam_batch": 64}')
+    assert bench.load_tuning() == {"beam_batch": 64}
