@@ -44,6 +44,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import threading
 import time
 
@@ -208,6 +209,72 @@ def bench_greedy(model_pack, metric: str):
          **perf_fields(flops, dt, peak_tf, batch))
 
 
+def probe_fused_kernels(timeout_s: float = 900.0):
+    """Compiled numerics gate for the ancestry-beam Pallas kernels.
+
+    CI runs the kernels in interpret mode inside the full beam graph, but
+    Mosaic compilation is a different code path — never let the capture's
+    beam number depend on an unverified compiled kernel. One tiny attend case
+    (flagship decoder-layer shape) + one paired cache write, compiled on this
+    backend, checked against the NumPy oracles from tests/test_group_attend.
+    Runs under a watchdog: a hung remote compile counts as a failed probe.
+
+    Returns (ok, note) — on any mismatch/exception/timeout the caller falls
+    back to the XLA group-attend formulation (slower, equally exact).
+    """
+    result = {}
+
+    def run():
+        try:
+            import jax.numpy as jnp
+
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tests"))
+            from test_group_attend import make_case, ref_group_attend
+
+            from tailored_avsr_tpu.ops.cache_update import (
+                write_cache_columns_kv,
+            )
+            from tailored_avsr_tpu.ops.group_attend import group_attend_anc
+
+            rng = np.random.RandomState(0)
+            b, h, km, lc, dk, pos = 2, 4, 10, 104, 64, 52
+            case = make_case(rng, b, h, km, lc, dk, pos, dtype=jnp.bfloat16)
+            got = np.asarray(group_attend_anc(*case, pos), np.float64)
+            want = ref_group_attend(*case, pos)
+            err = float(np.max(np.abs(got - want) / (np.abs(want) + 1e-3)))
+            if err > 0.05:
+                result["note"] = f"attend_relerr_{err:.1e}"
+                return
+            ck = jnp.asarray(rng.randn(b, h, km, lc, dk), jnp.bfloat16)
+            cv = jnp.asarray(rng.randn(b, h, km, lc, dk), jnp.bfloat16)
+            kc = jnp.asarray(rng.randn(b, h, km, dk), jnp.bfloat16)
+            vc = jnp.asarray(rng.randn(b, h, km, dk), jnp.bfloat16)
+            gk, gv = write_cache_columns_kv(ck, cv, kc, vc, 37)
+            okk = np.array_equal(
+                np.asarray(gk), np.asarray(ck.at[:, :, :, 37, :].set(kc))
+            )
+            okv = np.array_equal(
+                np.asarray(gv), np.asarray(cv.at[:, :, :, 37, :].set(vc))
+            )
+            if not (okk and okv):
+                result["note"] = "kv_write_mismatch"
+                return
+            result["ok"] = True
+            result["note"] = f"probe_ok_relerr_{err:.1e}"
+        except Exception as e:  # noqa: BLE001 — any failure means fallback
+            result["note"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "ok" not in result:
+        return False, result.get(
+            "note", f"probe_timeout_{timeout_s:.0f}s"
+        )
+    return True, result["note"]
+
+
 def resolve_beam_tuning(args_cli, tuning: dict):
     """Merge CLI flags over bench_tuning.json: (beam_batch, conf_overrides)."""
     beam_batch = args_cli.beam_batch
@@ -244,6 +311,18 @@ def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
         cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
     tuning = {} if args_cli.tiny else load_tuning()
     beam_batch, overrides = resolve_beam_tuning(args_cli, tuning)
+    probe_note = "tuned" if "fused_group_attend" in overrides else None
+    if on_tpu and not args_cli.tiny and probe_note is None:
+        if os.environ.get("TAVSR_FUSED_GROUP_ATTEND") == "0":
+            overrides["fused_group_attend"] = False
+            probe_note = "env_disabled"
+        else:
+            # no sweep/probe verdict on record (bench_tuning.json absent):
+            # gate the never-yet-compiled Pallas kernels in-process before
+            # letting the capture's beam number depend on them
+            ok, probe_note = probe_fused_kernels()
+            if not ok:
+                overrides["fused_group_attend"] = False
     cfg.inference_conf = dict(
         cfg.inference_conf, beam_size=10, ctc_weight=0.1, lm_weight=0.4,
         early_exit=False, **overrides,
@@ -265,10 +344,11 @@ def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
     dt_b = timed(bjit, s2t.variables, *bargs, iters=5)
     flops_b = graph_flops(bjit, s2t.variables, *bargs)
     rtf_b = beam_batch * samples / 16000.0 / dt_b
+    extra = {"probe": probe_note} if probe_note else {}
     emit(metric, value=round(rtf_b, 2), vs_baseline=round(rtf_b / 150.0, 3),
          batch=beam_batch,
          fused=cfg.inference_conf.get("fused_group_attend"),
-         **perf_fields(flops_b, dt_b, peak_tf, beam_batch))
+         **perf_fields(flops_b, dt_b, peak_tf, beam_batch), **extra)
 
 
 def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False):
