@@ -435,7 +435,7 @@ def main():
              "structured tpu_unavailable records",
     )
     parser.add_argument(
-        "--deadline", type=float, default=5400.0,
+        "--deadline", type=float, default=6900.0,
         help="global wall-clock budget; unfinished stages emit "
              "deadline_exceeded records and the process exits 0",
     )

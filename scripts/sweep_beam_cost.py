@@ -67,58 +67,77 @@ def main():
         secs = b * samples / 16000.0
 
         for variant in args.variants.split(","):
-            ctc_w = 0.1 if "ctc" in variant else 0.0
-            lm_on = "lm" in variant
-            cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
-            lm_cfg = load_config("configs/LM/lm-spanish.yaml") if lm_on else None
-            if on_tpu:
-                cfg.dtype = "bfloat16"
-                cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
-            cfg.inference_conf = dict(
-                cfg.inference_conf, beam_size=args.beam, ctc_weight=ctc_w,
-                lm_weight=0.4 if lm_on else 0.0, early_exit=False,
-                cache_protocol=args.protocol, unroll=args.unroll,
-            )
-            if args.fused != "auto":
-                cfg.inference_conf["fused_group_attend"] = args.fused == "1"
-            if args.phase_widths:
-                cfg.inference_conf["phase_widths"] = [
-                    float(x) for x in args.phase_widths.split(",")
-                ]
-            s2t = Speech2Text(cfg, lm_config=lm_cfg)
-            d = s2t.device_put_batch(dict(data))
-            dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
-            line = {
-                "batch": b, "protocol": args.protocol, "unroll": args.unroll,
-                "fused": args.fused, "phases": args.phase_widths or None,
-                "variant": variant, "ms": round(dt * 1e3, 1),
-                "rtf": round(secs / dt, 1),
-                # the full loop runs ~one step per encoder frame (early_exit
-                # off); approximate per-step cost for bisection notes
-                "ms_per_step": round(dt * 1e3 / frames, 2),
-            }
-            # MFU of the compiled decode graph (XLA cost analysis / wall /
-            # chip peak), same accounting as bench.py
+            # one failed point (OOM at a big batch, a transient tunnel 500)
+            # must not take down the rest of the sweep — every remote beam
+            # compile lost costs 15-20 min to redo, there is no cross-process
+            # compile cache
             try:
-                import bench
+                run_point(args, on_tpu, b, variant, data, secs, frames)
+            except Exception as e:  # noqa: BLE001 — per-point isolation
+                print(json.dumps({
+                    "batch": b, "variant": variant,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }), flush=True)
 
-                bargs = s2t._shard_args(s2t._model_args(d))
-                key = tuple((a.shape, str(a.dtype)) for a in bargs)
-                flops = bench.graph_flops(
-                    s2t._decode_jit[key], s2t.variables, *bargs
-                )
-                peak = bench.peak_for(jax.devices()[0])
-                line.update(bench.perf_fields(flops, dt, peak, b))
-            except Exception:
-                pass
-            if lm_on:  # params are lazily initialized by the first decode
-                line["lm_param_dtypes"] = sorted({
-                    str(x.dtype)
-                    for x in jax.tree_util.tree_leaves(s2t.lm_variables)
-                    if hasattr(x, "dtype") and "float" in str(x.dtype)
-                })
-            print(json.dumps(line), flush=True)
-            del s2t
+
+def run_point(args, on_tpu, b, variant, data, secs, frames):
+    import jax
+
+    from tailored_avsr_tpu.inference import Speech2Text
+    from tailored_avsr_tpu.utils.config import load_config
+
+    ctc_w = 0.1 if "ctc" in variant else 0.0
+    lm_on = "lm" in variant
+    cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish.yaml")
+    lm_cfg = load_config("configs/LM/lm-spanish.yaml") if lm_on else None
+    if on_tpu:
+        cfg.dtype = "bfloat16"
+        cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=True)
+    cfg.inference_conf = dict(
+        cfg.inference_conf, beam_size=args.beam, ctc_weight=ctc_w,
+        lm_weight=0.4 if lm_on else 0.0, early_exit=False,
+        cache_protocol=args.protocol, unroll=args.unroll,
+    )
+    if args.fused != "auto":
+        cfg.inference_conf["fused_group_attend"] = args.fused == "1"
+    if args.phase_widths:
+        cfg.inference_conf["phase_widths"] = [
+            float(x) for x in args.phase_widths.split(",")
+        ]
+    s2t = Speech2Text(cfg, lm_config=lm_cfg)
+    d = s2t.device_put_batch(dict(data))
+    dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
+    line = {
+        "batch": b, "protocol": args.protocol, "unroll": args.unroll,
+        "fused": args.fused, "phases": args.phase_widths or None,
+        "variant": variant, "ms": round(dt * 1e3, 1),
+        "rtf": round(secs / dt, 1),
+        # the full loop runs ~one step per encoder frame (early_exit
+        # off); approximate per-step cost for bisection notes
+        "ms_per_step": round(dt * 1e3 / frames, 2),
+    }
+    # MFU of the compiled decode graph (XLA cost analysis / wall /
+    # chip peak), same accounting as bench.py
+    try:
+        import bench
+
+        bargs = s2t._shard_args(s2t._model_args(d))
+        key = tuple((a.shape, str(a.dtype)) for a in bargs)
+        flops = bench.graph_flops(
+            s2t._decode_jit[key], s2t.variables, *bargs
+        )
+        peak = bench.peak_for(jax.devices()[0])
+        line.update(bench.perf_fields(flops, dt, peak, b))
+    except Exception:
+        pass
+    if lm_on:  # params are lazily initialized by the first decode
+        line["lm_param_dtypes"] = sorted({
+            str(x.dtype)
+            for x in jax.tree_util.tree_leaves(s2t.lm_variables)
+            if hasattr(x, "dtype") and "float" in str(x.dtype)
+        })
+    print(json.dumps(line), flush=True)
+    del s2t
 
 
 if __name__ == "__main__":

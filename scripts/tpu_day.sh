@@ -88,7 +88,7 @@ cat > /root/repo/bench_tuning.json <<EOF
 EOF
 note "wrote bench_tuning.json (beam_batch=$WINNER fused=$FUSED_OK)"
 
-run_stage bench 7200 python bench.py --beam-batch "$WINNER"
+run_stage bench 7500 python bench.py --beam-batch "$WINNER"
 
 run_stage stem 3600 python scripts/bench_stem.py --batch 128
 

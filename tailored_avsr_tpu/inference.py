@@ -103,6 +103,11 @@ class Speech2Text:
         # (read+write the full cache) via the fused insert_permute_rows —
         # kept for A/B measurement (scripts/sweep_beam_cost.py).
         self.cache_protocol = str(inf.get("cache_protocol", "anc"))
+        if self.cache_protocol not in ("anc", "append"):
+            raise ValueError(
+                f"cache_protocol must be 'anc' or 'append', got "
+                f"{self.cache_protocol!r}"
+            )
         # device-side input normalization: inputs may arrive quantized (uint8
         # video straight from the ROI files, int16 audio) to cut host->device
         # bandwidth 4x / 2x; the jit graph undoes the quantization with these

@@ -64,3 +64,15 @@ def test_semantic_config_keys_gate_loudly():
     check_dropped_key("ctc_conf", "ctc_type", "builtin2")  # torch-only distinction
     with pytest.raises(NotImplementedError, match="ctc_type"):
         check_dropped_key("ctc_conf", "ctc_type", "gtnctc")
+
+
+def test_cache_protocol_gates_loudly(tmp_path):
+    """An unknown beam cache_protocol must raise at engine construction, not
+    silently decode with the default protocol."""
+    import pytest
+
+    from tailored_avsr_tpu.inference import Speech2Text
+    from test_fused_beam_ci import make_cfg
+
+    with pytest.raises(ValueError, match="cache_protocol"):
+        Speech2Text(make_cfg(tmp_path, cache_protocol="bogus"))
