@@ -285,6 +285,11 @@ def resolve_beam_tuning(args_cli, tuning: dict):
     overrides = {}
     if "fused_group_attend" in tuning:
         overrides["fused_group_attend"] = bool(tuning["fused_group_attend"])
+    for key in ("quantize_lm", "quantize_asr_model"):
+        if key in tuning:
+            overrides[key] = bool(tuning[key])
+    if tuning.get("cache_protocol"):
+        overrides["cache_protocol"] = str(tuning["cache_protocol"])
     beam_phases = args_cli.beam_phases or ",".join(
         str(x) for x in tuning.get("phase_widths") or []
     )

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--fused", default="auto", choices=["auto", "0", "1"],
                     help="group-attend kernel A/B: auto = Pallas on TPU, "
                          "0 = force the XLA formulation, 1 = force Pallas")
+    ap.add_argument("--quantize", default="",
+                    choices=["", "lm", "asr", "lm+asr"],
+                    help="weight-only int8 quantization A/B "
+                         "(utils/quantize.py): which model(s) to quantize")
     args = ap.parse_args()
 
     import jax
@@ -104,12 +108,17 @@ def run_point(args, on_tpu, b, variant, data, secs, frames):
         cfg.inference_conf["phase_widths"] = [
             float(x) for x in args.phase_widths.split(",")
         ]
+    if "lm" in args.quantize:
+        cfg.inference_conf["quantize_lm"] = True
+    if "asr" in args.quantize:
+        cfg.inference_conf["quantize_asr_model"] = True
     s2t = Speech2Text(cfg, lm_config=lm_cfg)
     d = s2t.device_put_batch(dict(data))
     dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
     line = {
         "batch": b, "protocol": args.protocol, "unroll": args.unroll,
         "fused": args.fused, "phases": args.phase_widths or None,
+        "quantize": args.quantize or None,
         "variant": variant, "ms": round(dt * 1e3, 1),
         "rtf": round(secs / dt, 1),
         # the full loop runs ~one step per encoder frame (early_exit

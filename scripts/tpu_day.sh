@@ -93,10 +93,55 @@ run_stage bench 7500 python bench.py --beam-batch "$WINNER"
 run_stage stem 3600 python scripts/bench_stem.py --batch 128
 
 # A/B evidence (optional, after the driver-critical captures):
-#   fused Pallas group attend vs the XLA formulation, and the ancestry
-#   protocol vs the round-1 append/permute protocol, at the winner batch
+#   fused Pallas group attend vs the XLA formulation, the ancestry protocol
+#   vs the round-1 append/permute protocol, phased attend widths, and
+#   weight-only int8 LM quantization — all at the winner batch
 run_stage ab_xla 3600 python scripts/sweep_beam_cost.py \
   --batches "$WINNER" --variants att+ctc+lm --fused 0
 run_stage ab_append 3600 python scripts/sweep_beam_cost.py \
   --batches "$WINNER" --variants att+ctc+lm --protocol append
+run_stage ab_phases 3600 python scripts/sweep_beam_cost.py \
+  --batches "$WINNER" --variants att+ctc+lm --phase-widths 0.25,0.5,1.0
+run_stage ab_quant 3600 python scripts/sweep_beam_cost.py \
+  --batches "$WINNER" --variants att+ctc+lm --quantize lm
+
+# Fold the overall best measured operating point (across the sweep and every
+# A/B) back into bench_tuning.json — the driver's round-end plain
+# `python bench.py` reads it, so the capture lands on the best point.
+python - "$FUSED_OK" <<'EOF'
+import json, sys
+best = None
+for name in ("sweep", "ab_xla", "ab_append", "ab_phases", "ab_quant"):
+    try:
+        for line in open(f"/tmp/tpuday/{name}.log"):
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            if d.get("rtf") and (best is None or d["rtf"] > best["rtf"]):
+                best = d
+    except Exception:
+        pass
+if best is not None:
+    fused_ok = sys.argv[1] == "true"
+    tuning = {
+        "beam_batch": best["batch"],
+        "fused_group_attend":
+            fused_ok if best.get("fused", "auto") == "auto"
+            else best["fused"] == "1",
+        "cache_protocol": best.get("protocol", "anc"),
+        "source": f"scripts/tpu_day.sh retune rtf={best['rtf']}",
+    }
+    if best.get("phases"):
+        tuning["phase_widths"] = [float(x) for x in best["phases"].split(",")]
+    if best.get("quantize"):
+        if "lm" in best["quantize"]:
+            tuning["quantize_lm"] = True
+        if "asr" in best["quantize"]:
+            tuning["quantize_asr_model"] = True
+    with open("/root/repo/bench_tuning.json", "w") as f:
+        json.dump(tuning, f)
+    print("retuned:", json.dumps(tuning))
+EOF
+note "retuned bench_tuning.json: $(cat /root/repo/bench_tuning.json 2>/dev/null)"
 note "ALL DONE"
