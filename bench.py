@@ -350,6 +350,11 @@ def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
     flops_b = graph_flops(bjit, s2t.variables, *bargs)
     rtf_b = beam_batch * samples / 16000.0 / dt_b
     extra = {"probe": probe_note} if probe_note else {}
+    # non-default operating-point knobs must be visible in the record
+    for key in ("quantize_lm", "quantize_asr_model", "cache_protocol",
+                "phase_widths"):
+        if key in overrides:
+            extra[key] = overrides[key]
     emit(metric, value=round(rtf_b, 2), vs_baseline=round(rtf_b / 150.0, 3),
          batch=beam_batch,
          fused=cfg.inference_conf.get("fused_group_attend"),
