@@ -362,53 +362,61 @@ def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
 
 
 def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False):
+    """Times the PRODUCT train step (train/loop.make_train_step): donated
+    state buffers + bf16 mixed precision on TPU — the same jitted step
+    avsr_main.py runs, not a bench-local re-derivation of it."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from __graft_entry__ import _build_flagship
+    from tailored_avsr_tpu.train.loop import (
+        create_train_state,
+        make_train_step,
+    )
 
     rng = np.random.RandomState(7)
     tb, tframes = (2, 16) if tiny else (16, 100)
     tsamples = tframes * 640
-    t_audio = jnp.asarray(rng.randn(tb, tsamples).astype(np.float32) * 0.1)
-    t_alens = jnp.full((tb,), tsamples, np.int32)
-    t_video = jnp.asarray(rng.randn(tb, tframes, 88, 88).astype(np.float32))
-    t_vlens = jnp.full((tb,), tframes, np.int32)
-    t_text = jnp.asarray(rng.randint(3, 30, (tb, 30)), np.int32)
-    t_tlens = jnp.full((tb,), 30, np.int32)
+    batch = (
+        jnp.asarray(rng.randn(tb, tsamples).astype(np.float32) * 0.1),
+        jnp.full((tb,), tsamples, np.int32),
+        jnp.asarray(rng.randn(tb, tframes, 88, 88).astype(np.float32)),
+        jnp.full((tb,), tframes, np.int32),
+        jnp.asarray(rng.randint(3, 30, (tb, 30)), np.int32),
+        jnp.full((tb,), 30, np.int32),
+    )
     tmodel = _build_flagship(tiny=tiny, use_flash=False)
     tvars = tmodel.init(
         {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)},
-        t_audio[:2], t_alens[:2], t_video[:2], t_vlens[:2],
-        t_text[:2], t_tlens[:2],
+        *(x[:2] for x in batch),
     )
     tx = optax.adamw(1e-3)
-    opt_state = tx.init(tvars["params"])
-    if on_tpu:
-        t_audio = t_audio.astype(jnp.bfloat16)
-        t_video = t_video.astype(jnp.bfloat16)
-
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, *batch):
-        def loss_fn(p):
-            (loss, stats), new_vars = tmodel.apply(
-                {"params": p, "batch_stats": batch_stats}, *batch,
-                deterministic=False,
-                rngs={k: jax.random.PRNGKey(i) for i, k in enumerate(
-                    ("dropout", "skip", "specaug", "mlm"))},
-                mutable=["batch_stats"],
-            )
-            return loss, new_vars["batch_stats"]
-
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_bs, new_opt, loss
-
-    targs = (tvars["params"], tvars.get("batch_stats", {}), opt_state,
-             t_audio, t_alens, t_video, t_vlens, t_text, t_tlens)
-    dt_t = timed(train_step, *targs, iters=5)
-    flops_t = graph_flops(train_step, *targs)
+    state = create_train_state(tvars, tx)
+    step = make_train_step(
+        tmodel, tx, donate=True,
+        compute_dtype=jnp.bfloat16 if on_tpu else None,
+    )
+    key = jax.random.PRNGKey(3)
+    # cost analysis first: lowering only reads shapes, donation consumes
+    # the state buffers at execution
+    flops_t = graph_flops(step, state, batch, key)
+    for attempt in range(3):  # the remote tunnel can drop transiently
+        try:
+            state, stats = step(state, batch, key)  # compile + step 1
+            np.asarray(jax_leaves(stats)[0])
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)
+    times = []
+    for _ in range(5):  # donated state must thread through, not repeat
+        t0 = time.perf_counter()
+        state, stats = step(state, batch, key)
+        np.asarray(jax_leaves(stats)[0])
+        times.append(time.perf_counter() - t0)
+    dt_t = min(times)
     rtf_t = tb * tsamples / 16000.0 / dt_t
     emit(metric, value=round(rtf_t, 2),
          **perf_fields(flops_t, dt_t, peak_tf, tb))
