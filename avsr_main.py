@@ -125,9 +125,13 @@ def run_training(args, config, tokenizer, converter, transforms):
         (getattr(config, "encoder_conf", {}) or {}).get("output_size", 256)
     ), steps_per_epoch=len(train_loader), frozen_mask=frozen)
     state = create_train_state(variables, tx)
+    # mixed precision: top-level `dtype: bfloat16` or the reference's
+    # training_settings `use_amp: true` (ref avsr_main.py:215 gates a cuda
+    # GradScaler on it; bf16 compute with f32 master params is the TPU form
+    # — no loss scaling needed, bf16 has f32's exponent range)
     compute_dtype = (
         jnp.bfloat16 if str(getattr(config, "dtype", "float32")) in
-        ("bfloat16", "bf16") else None
+        ("bfloat16", "bf16") or bool(ts.get("use_amp", False)) else None
     )
     train_step = make_train_step(
         model, tx, compute_dtype=compute_dtype,

@@ -34,6 +34,99 @@ from tailored_avsr_tpu.tasks.lm import LMTask
 from tailored_avsr_tpu.train.checkpoint import load_model
 
 
+# Every inference_conf key this engine (or the avsr_main inference loader)
+# honors. The reference splats inference_conf as keyword arguments
+# (src/utils/inference.py:9-23 -> AVSR2Text.__init__), so an unknown or
+# unsupported key fails loudly there — mirror that instead of silently
+# decoding with different settings.
+_INFERENCE_KEYS = frozenset({
+    "beam_size", "ctc_weight", "lm_weight", "penalty", "maxlenratio",
+    "minlenratio", "nbest", "early_exit", "unroll", "phase_widths",
+    "maskctc_n_iterations", "maskctc_threshold_probability", "decode_mode",
+    "pre_beam", "cache_segments", "fused_group_attend", "cache_protocol",
+    "video_scale", "video_mean", "video_std", "device_normalize",
+    "quantize_asr_model", "quantize_lm", "quantize_dtype",
+    "quantize_min_size", "ngram_weight", "ngram_file", "data_parallel",
+    "batch_size",  # consumed by the avsr_main inference dataloader
+    "hugging_face_decoder_max_length",  # inert without the gated hf decoder
+})
+
+
+def _normalize_inference_conf(inf: dict, config) -> dict:
+    """Validate/translate reference inference_conf keys (see _INFERENCE_KEYS).
+
+    Reference keys with a different spelling here are mapped (``time_sync``
+    -> ``decode_mode: timesync``); reference capabilities this build gates
+    (streaming-in-conf, enh_s2t_task, multi_asr, hugging_face_decoder, n-gram
+    'part' scorer) raise NotImplementedError on non-default values; keys
+    whose semantics live at the top level of the config (token_type,
+    bpemodel, dtype) must agree with it; anything unknown raises ValueError
+    — the same failure a typo'd key gets from the reference's kwarg splat
+    (ref src/inference/avsr_inference.py:77-109).
+    """
+    inf = dict(inf)
+    if inf.pop("time_sync", False):  # reference name for the timesync beam
+        mode = inf.setdefault("decode_mode", "timesync")
+        if mode != "timesync":
+            raise ValueError(
+                f"time_sync: true conflicts with decode_mode: {mode!r}"
+            )
+    scorer = inf.pop("ngram_scorer", "full")
+    if scorer != "full":
+        raise NotImplementedError(
+            f"ngram_scorer {scorer!r}: only the full n-gram scorer is "
+            "implemented (decode/ngram.py)"
+        )
+    tconf = inf.pop("transducer_conf", None)
+    if tconf:
+        raise NotImplementedError(
+            "transducer_conf options are not configurable: transducer decode "
+            "uses the tensorized ALSD beam with prefix merging "
+            "(decode/transducer_beam.py); set beam_size to choose beam/greedy"
+        )
+    qmods = inf.pop("quantize_modules", None)
+    if qmods is not None and not set(qmods) <= {"Linear", "Embedding"}:
+        raise NotImplementedError(
+            f"quantize_modules {qmods!r}: weight-only quantization covers "
+            "Dense kernels and embeddings (utils/quantize.py; tune "
+            "quantize_min_size to scope it)"
+        )
+    inf.pop("device", None)  # backend selection is JAX-level, no semantics
+    dtype = inf.pop("dtype", None)
+    if dtype is not None and dtype != getattr(config, "dtype", "float32"):
+        raise ValueError(
+            f"inference_conf dtype {dtype!r} disagrees with the top-level "
+            f"config dtype {getattr(config, 'dtype', 'float32')!r} — set the "
+            "top-level key; it governs params, activations, and caches"
+        )
+    for key, top in (("token_type", "token_type"), ("bpemodel", "bpemodel")):
+        val = inf.pop(key, None)
+        cfg_val = getattr(config, top, None)
+        if val is not None and cfg_val is not None and val != cfg_val:
+            raise ValueError(
+                f"inference_conf {key} {val!r} disagrees with the top-level "
+                f"config ({cfg_val!r}) — tokenization is built from the "
+                "top-level keys"
+            )
+    for key, hint in (
+        ("streaming", "use decode.streaming's chunk-chainable streamers"),
+        ("enh_s2t_task", "speech-enhancement front models are not built"),
+        ("multi_asr", "multi-speaker decode runs through the pit_espnet "
+                      "model family"),
+        ("hugging_face_decoder", "external-pretrained decoders are gated "
+                                 "(zero-egress build)"),
+    ):
+        if inf.pop(key, False):
+            raise NotImplementedError(f"inference_conf {key}: {hint}")
+    unknown = set(inf) - _INFERENCE_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown inference_conf key(s) {sorted(unknown)}; known keys: "
+            f"{sorted(_INFERENCE_KEYS)}"
+        )
+    return inf
+
+
 class Speech2Text:
     def __init__(
         self,
@@ -59,7 +152,9 @@ class Speech2Text:
         self.model = task_cls.build_model(config, token_list)
         self.is_maskctc = getattr(config, "model", "espnet") == "maskctc"
 
-        inf = dict(getattr(config, "inference_conf", {}) or {})
+        inf = _normalize_inference_conf(
+            dict(getattr(config, "inference_conf", {}) or {}), config
+        )
         self.beam_config = BeamSearchConfig(
             beam_size=int(inf.get("beam_size", 30)),
             ctc_weight=float(inf.get("ctc_weight", 0.1)),
@@ -127,6 +222,9 @@ class Speech2Text:
         self.quantize_min_size = int(inf.get("quantize_min_size", 4096))
         self.ngram = None
         self.ngram_weight = float(inf.get("ngram_weight", 0.0))
+        # the reference takes the n-gram ARPA/binary via inference_conf
+        # ngram_file (ref avsr_inference.py:84); the constructor arg wins
+        ngram_path = ngram_path or inf.get("ngram_file")
         if ngram_path and self.ngram_weight > 0:
             from tailored_avsr_tpu.decode.ngram import NgramScorer
 

@@ -66,6 +66,39 @@ def test_semantic_config_keys_gate_loudly():
         check_dropped_key("ctc_conf", "ctc_type", "gtnctc")
 
 
+def test_inference_conf_unknown_and_reference_keys(tmp_path):
+    """The reference splats inference_conf as kwargs, so unknown keys fail
+    loudly there (utils/inference.py:9-23); ours must too — and reference
+    spellings must map (time_sync), agree with top-level keys (dtype), or
+    gate loudly (streaming / ngram_scorer: part)."""
+    import pytest
+
+    from tailored_avsr_tpu.inference import Speech2Text
+    from test_fused_beam_ci import make_cfg
+
+    with pytest.raises(ValueError, match="unknown inference_conf"):
+        Speech2Text(make_cfg(tmp_path, beam_sze=3))  # typo'd key
+    # reference keys with defaulted values pass through untouched
+    s2t = Speech2Text(make_cfg(
+        tmp_path, batch_size=1, device="cuda", streaming=False,
+        ngram_scorer="full", quantize_modules=["Linear"], time_sync=False,
+    ))
+    assert s2t.decode_mode == "label_sync"
+    s2t = Speech2Text(make_cfg(tmp_path, time_sync=True))
+    assert s2t.decode_mode == "timesync"
+    with pytest.raises(ValueError, match="time_sync"):
+        Speech2Text(make_cfg(tmp_path, time_sync=True,
+                             decode_mode="label_sync"))
+    with pytest.raises(ValueError, match="dtype"):
+        Speech2Text(make_cfg(tmp_path, dtype="bfloat16"))
+    with pytest.raises(NotImplementedError, match="streaming"):
+        Speech2Text(make_cfg(tmp_path, streaming=True))
+    with pytest.raises(NotImplementedError, match="ngram_scorer"):
+        Speech2Text(make_cfg(tmp_path, ngram_scorer="part"))
+    with pytest.raises(NotImplementedError, match="transducer_conf"):
+        Speech2Text(make_cfg(tmp_path, transducer_conf={"search_type": "tsd"}))
+
+
 def test_cache_protocol_gates_loudly(tmp_path):
     """An unknown beam cache_protocol must raise at engine construction, not
     silently decode with the default protocol."""
