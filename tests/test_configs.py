@@ -24,8 +24,34 @@ def test_config_builds_model(path, monkeypatch):
     security_checks(cfg)
     _, conv = get_tokenizer_converter(cfg)
     cls = AVSRTask if cfg.task == "avsr" else ASRTask
-    model = cls.build_model(cfg, conv.token_list)
+    import logging
+
+    dropped = []
+
+    class Capture(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("dropping"):
+                dropped.append(msg.split("'")[1])
+
+    log = logging.getLogger("tailored_avsr_tpu.tasks.common")
+    handler = Capture(level=logging.DEBUG)
+    log.addHandler(handler)
+    old_level = log.level
+    log.setLevel(logging.DEBUG)
+    try:
+        model = cls.build_model(cfg, conv.token_list)
+    finally:
+        log.removeHandler(handler)
+        log.setLevel(old_level)
     assert model.vocab_size == len(conv.token_list)
+    # keys the builders drop must be known-inert: positional_dropout_rate in
+    # the conventional wrapper matches the reference, whose inner encoders
+    # are built with embed=None so the value never reaches a module
+    # (ref src/encoder/audiovisual/conventional/encoder.py:94-95). Anything
+    # else dropped is a silent schema divergence — extend
+    # _DROPPED_KEY_ALLOWED (gate) instead of this list.
+    assert set(dropped) <= {"positional_dropout_rate"}, dropped
 
 
 LM_CONFIGS = sorted(glob.glob(os.path.join(ROOT, "configs", "LM", "*.yaml")))
