@@ -290,6 +290,8 @@ def resolve_beam_tuning(args_cli, tuning: dict):
             overrides[key] = bool(tuning[key])
     if tuning.get("cache_protocol"):
         overrides["cache_protocol"] = str(tuning["cache_protocol"])
+    if "unroll" in tuning:
+        overrides["unroll"] = int(tuning["unroll"])
     beam_phases = args_cli.beam_phases or ",".join(
         str(x) for x in tuning.get("phase_widths") or []
     )

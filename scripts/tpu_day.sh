@@ -104,6 +104,8 @@ run_stage ab_phases 3600 python scripts/sweep_beam_cost.py \
   --batches "$WINNER" --variants att+ctc+lm --phase-widths 0.25,0.5,1.0
 run_stage ab_quant 3600 python scripts/sweep_beam_cost.py \
   --batches "$WINNER" --variants att+ctc+lm --quantize lm
+run_stage ab_unroll 3600 python scripts/sweep_beam_cost.py \
+  --batches "$WINNER" --variants att+ctc+lm --unroll 1
 
 # Fold the overall best measured operating point (across the sweep and every
 # A/B) back into bench_tuning.json — the driver's round-end plain
@@ -111,7 +113,8 @@ run_stage ab_quant 3600 python scripts/sweep_beam_cost.py \
 python - "$FUSED_OK" <<'EOF'
 import json, sys
 best = None
-for name in ("sweep", "ab_xla", "ab_append", "ab_phases", "ab_quant"):
+for name in ("sweep", "ab_xla", "ab_append", "ab_phases", "ab_quant",
+             "ab_unroll"):
     try:
         for line in open(f"/tmp/tpuday/{name}.log"):
             line = line.strip()
@@ -130,6 +133,7 @@ if best is not None:
             fused_ok if best.get("fused", "auto") == "auto"
             else best["fused"] == "1",
         "cache_protocol": best.get("protocol", "anc"),
+        "unroll": best.get("unroll", 2),
         "source": f"scripts/tpu_day.sh retune rtf={best['rtf']}",
     }
     if best.get("phases"):
