@@ -44,6 +44,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -139,7 +140,7 @@ def perf_fields(flops, dt, peak_tf, batch):
     return out
 
 
-def init_backend(timeout_s: float):
+def init_backend(timeout_s: float, stages=STAGES):
     """Initialize the JAX backend under a watchdog.
 
     The axon tunnel's backend init has been observed to hang for 40+ minutes
@@ -170,7 +171,7 @@ def init_backend(timeout_s: float):
         err = result.get(
             "error", f"tpu_unavailable: backend init exceeded {timeout_s:.0f}s"
         )
-        for metric in STAGES:
+        for metric in stages:
             emit_error(metric, err)
         os._exit(0)  # the hung init thread cannot be joined
     return result["devices"]
@@ -214,65 +215,30 @@ def probe_fused_kernels(timeout_s: float = 900.0):
 
     CI runs the kernels in interpret mode inside the full beam graph, but
     Mosaic compilation is a different code path — never let the capture's
-    beam number depend on an unverified compiled kernel. One tiny attend case
-    (flagship decoder-layer shape) + one paired cache write, compiled on this
-    backend, checked against the NumPy oracles from tests/test_group_attend.
-    Runs under a watchdog: a hung remote compile counts as a failed probe.
+    beam number depend on an unverified compiled kernel. Runs
+    scripts/probe_kernels_tpu.py (kernels vs NumPy oracles, compiled on this
+    backend) in a SUBPROCESS so a slow or hung remote compile is killed at
+    the deadline — an abandoned in-process thread would keep executing on
+    the chip during the timed beam iterations and corrupt the capture.
 
     Returns (ok, note) — on any mismatch/exception/timeout the caller falls
     back to the XLA group-attend formulation (slower, equally exact).
     """
-    result = {}
-
-    def run():
-        try:
-            import jax.numpy as jnp
-
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tests"))
-            from test_group_attend import make_case, ref_group_attend
-
-            from tailored_avsr_tpu.ops.cache_update import (
-                write_cache_columns_kv,
-            )
-            from tailored_avsr_tpu.ops.group_attend import group_attend_anc
-
-            rng = np.random.RandomState(0)
-            b, h, km, lc, dk, pos = 2, 4, 10, 104, 64, 52
-            case = make_case(rng, b, h, km, lc, dk, pos, dtype=jnp.bfloat16)
-            got = np.asarray(group_attend_anc(*case, pos), np.float64)
-            want = ref_group_attend(*case, pos)
-            err = float(np.max(np.abs(got - want) / (np.abs(want) + 1e-3)))
-            if err > 0.05:
-                result["note"] = f"attend_relerr_{err:.1e}"
-                return
-            ck = jnp.asarray(rng.randn(b, h, km, lc, dk), jnp.bfloat16)
-            cv = jnp.asarray(rng.randn(b, h, km, lc, dk), jnp.bfloat16)
-            kc = jnp.asarray(rng.randn(b, h, km, dk), jnp.bfloat16)
-            vc = jnp.asarray(rng.randn(b, h, km, dk), jnp.bfloat16)
-            gk, gv = write_cache_columns_kv(ck, cv, kc, vc, 37)
-            okk = np.array_equal(
-                np.asarray(gk), np.asarray(ck.at[:, :, :, 37, :].set(kc))
-            )
-            okv = np.array_equal(
-                np.asarray(gv), np.asarray(cv.at[:, :, :, 37, :].set(vc))
-            )
-            if not (okk and okv):
-                result["note"] = "kv_write_mismatch"
-                return
-            result["ok"] = True
-            result["note"] = f"probe_ok_relerr_{err:.1e}"
-        except Exception as e:  # noqa: BLE001 — any failure means fallback
-            result["note"] = f"{type(e).__name__}: {e}"
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "ok" not in result:
-        return False, result.get(
-            "note", f"probe_timeout_{timeout_s:.0f}s"
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "probe_kernels_tpu.py")
+    try:
+        r = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=timeout_s,
         )
-    return True, result["note"]
+    except subprocess.TimeoutExpired:
+        return False, f"probe_timeout_{timeout_s:.0f}s"
+    except Exception as e:  # noqa: BLE001 — any failure means fallback
+        return False, f"{type(e).__name__}: {e}"
+    if r.returncode == 0 and "KERNEL PROBE OK" in r.stdout:
+        return True, "probe_ok"
+    tail = (r.stdout + r.stderr).strip().splitlines()
+    return False, "probe_failed: " + (tail[-1][:200] if tail else "no output")
 
 
 def resolve_beam_tuning(args_cli, tuning: dict):
@@ -300,8 +266,7 @@ def resolve_beam_tuning(args_cli, tuning: dict):
     return beam_batch, overrides
 
 
-def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
-               samples, metric: str):
+def bench_beam(args_cli, on_tpu, peak_tf, samples, metric: str):
     """Joint CTC/attention + LM beam decode — the WER-parity serving path."""
     from __graft_entry__ import _flagship_cfg
     from tailored_avsr_tpu.inference import Speech2Text
@@ -335,11 +300,16 @@ def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
         early_exit=False, **overrides,
     )
     s2t = Speech2Text(cfg, lm_config=lm_cfg)
+    # generate exactly beam_batch rows — slicing the greedy pack would
+    # silently decode fewer utterances than the RTF divides by whenever
+    # beam_batch exceeds the greedy batch
+    rng = np.random.RandomState(1)
+    frames = samples // 640
     data = {
-        "audio": np.asarray(audio[:beam_batch], np.float32),
-        "audio_lengths": np.asarray(alens[:beam_batch]),
-        "video": np.asarray(video[:beam_batch], np.float32),
-        "video_lengths": np.asarray(vlens[:beam_batch]),
+        "audio": (rng.randn(beam_batch, samples) * 0.1).astype(np.float32),
+        "audio_lengths": np.full((beam_batch,), samples, np.int32),
+        "video": rng.randn(beam_batch, frames, 88, 88).astype(np.float32),
+        "video_lengths": np.full((beam_batch,), frames, np.int32),
         "text": np.ones((beam_batch, 8), np.int32),
         "text_lengths": np.full((beam_batch,), 8, np.int32),
     }
@@ -353,10 +323,10 @@ def bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
     rtf_b = beam_batch * samples / 16000.0 / dt_b
     extra = {"probe": probe_note} if probe_note else {}
     # non-default operating-point knobs must be visible in the record
-    for key in ("quantize_lm", "quantize_asr_model", "cache_protocol",
-                "phase_widths"):
-        if key in overrides:
-            extra[key] = overrides[key]
+    for knob in ("quantize_lm", "quantize_asr_model", "cache_protocol",
+                 "phase_widths"):
+        if knob in overrides:
+            extra[knob] = overrides[knob]
     emit(metric, value=round(rtf_b, 2), vs_baseline=round(rtf_b / 150.0, 3),
          batch=beam_batch,
          fused=cfg.inference_conf.get("fused_group_attend"),
@@ -394,12 +364,22 @@ def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False):
         *(x[:2] for x in batch),
     )
     tx = optax.adamw(1e-3)
-    state = create_train_state(tvars, tx)
     step = make_train_step(
         tmodel, tx, donate=True,
         compute_dtype=jnp.bfloat16 if on_tpu else None,
     )
     key = jax.random.PRNGKey(3)
+
+    def fresh_state():
+        # the step donates the state pytree, so a failed-after-dispatch
+        # attempt has consumed its buffers — every (re)try needs copies
+        copied = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True) if hasattr(x, "dtype") else x,
+            tvars,
+        )
+        return create_train_state(copied, tx)
+
+    state = fresh_state()
     # cost analysis first: lowering only reads shapes, donation consumes
     # the state buffers at execution
     flops_t = graph_flops(step, state, batch, key)
@@ -412,6 +392,7 @@ def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False):
             if attempt == 2:
                 raise
             time.sleep(10)
+            state = fresh_state()
     times = []
     for _ in range(5):  # donated state must thread through, not repeat
         t0 = time.perf_counter()
@@ -470,7 +451,7 @@ def main():
 
     threading.Thread(target=reaper, daemon=True).start()
 
-    devices = init_backend(args_cli.backend_timeout)
+    devices = init_backend(args_cli.backend_timeout, stages)
     import jax
     import jax.numpy as jnp
 
@@ -518,8 +499,7 @@ def main():
         return
 
     try:
-        bench_beam(args_cli, on_tpu, peak_tf, audio, alens, video, vlens,
-                   samples, STAGES[1])
+        bench_beam(args_cli, on_tpu, peak_tf, samples, STAGES[1])
     except Exception as e:  # noqa: BLE001
         emit_error(STAGES[1], f"{type(e).__name__}: {e}")
 

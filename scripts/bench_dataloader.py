@@ -98,7 +98,6 @@ def main(argv=None):
             atf(s["audio"])
         t_tf = (time.perf_counter() - t0) / len(raw)
 
-    utts = secs = 0
     best = None
     for ep in range(args.epochs):
         n_utt = 0
@@ -111,12 +110,10 @@ def main(argv=None):
             audio_s += float(lens.sum()) / 16000.0
         dt = time.perf_counter() - t0
         rate = n_utt / dt
+        if ep == 0 and args.epochs > 1:
+            continue  # warmup pass (page cache, thread spin-up) not reported
         if best is None or rate > best[0]:
             best = (rate, audio_s / dt, dt)
-        if ep == 0:
-            continue  # warmup pass (page cache, thread spin-up)
-        utts += n_utt
-        secs += dt
 
     print(json.dumps({
         "csv": args.csv or f"synthetic(n={args.n},T={args.frames})",

@@ -66,8 +66,15 @@ def main(argv=None):
             p.error("expected ASR_IMAGE_DIR VSR_IMAGE_DIR OUT.gif "
                     "(or use --images/--output)")
         asr_dir, vsr_dir, out = args.dirs
-        asr_files = sorted(os.listdir(asr_dir))
-        vsr_files = sorted(os.listdir(vsr_dir))
+
+        def image_files(d):
+            # numeric epoch order (lexicographic puts epoch10 before epoch2)
+            names = [f for f in os.listdir(d)
+                     if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
+            return sorted(names, key=lambda f: (int(_epoch_of(f) or 0), f))
+
+        asr_files = image_files(asr_dir)
+        vsr_files = image_files(vsr_dir)
         if not asr_files or not vsr_files:
             print("no images found", file=sys.stderr)
             return 1

@@ -9,14 +9,17 @@ remote compile.
 
 Usage: PYTHONPATH=/root/.axon_site python scripts/probe_kernels_tpu.py
 """
+import _pathfix  # noqa: F401  (repo path + JAX_PLATFORMS override)
+
+import os
 import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 from tailored_avsr_tpu.ops.group_attend import group_attend_anc
 from test_group_attend import make_case, ref_group_attend
 

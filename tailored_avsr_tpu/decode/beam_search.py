@@ -32,6 +32,10 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+# shard_map wrapper for the Pallas cache kernels under pod-batched decode
+# (one source of truth, shared with ops.attention.attend_kv_anc)
+from tailored_avsr_tpu.parallel.mesh import shard_pallas_over_data
+
 from tailored_avsr_tpu.decode.ctc_prefix import (
     CTCPrefixState,
     ctc_prefix_init_state,
@@ -85,24 +89,6 @@ def insert_permute_rows(
     return jnp.where(colmask, new_col[g_src].astype(x.dtype), x[g_src])
 
 
-def _shard_over_data(call, mesh, n_arrays: int, n_outs: int):
-    """shard_map ``call`` (n leading array args + trailing scalar pos) over
-    the mesh's 'data' axis, batch dim 0 sharded. Keeps the Pallas cache
-    kernels per-shard under pod-batched decode (GSPMD has no partitioning
-    rule for the custom calls and would otherwise replicate the caches)."""
-    from jax.sharding import PartitionSpec as P
-
-    bs = P("data")
-    # check_vma=False: pallas_call declares no varying-mesh-axes metadata,
-    # so the replication checker cannot analyze it
-    return jax.shard_map(
-        call, mesh=mesh,
-        in_specs=tuple([bs] * n_arrays) + (P(),),
-        out_specs=bs if n_outs == 1 else tuple([bs] * n_outs),
-        check_vma=False,
-    )
-
-
 def write_beam_column(
     x: jnp.ndarray, new_col: jnp.ndarray, pos: jnp.ndarray, mesh=None
 ) -> jnp.ndarray:
@@ -130,8 +116,7 @@ def write_beam_column(
         from tailored_avsr_tpu.ops.cache_update import write_cache_column
 
         call = functools.partial(write_cache_column, interpret=not on_tpu)
-        if mesh is not None and "data" in mesh.shape and b % mesh.shape["data"] == 0:
-            call = _shard_over_data(call, mesh, n_arrays=2, n_outs=1)
+        call = shard_pallas_over_data(call, mesh, b, n_arrays=2, n_outs=1)
         return call(x, upd, pos - 1)
     return jax.lax.dynamic_update_slice(
         x, upd[:, :, :, None, :].astype(x.dtype), (0, 0, 0, pos - 1, 0)
@@ -161,8 +146,7 @@ def write_beam_columns_kv(
         from tailored_avsr_tpu.ops.cache_update import write_cache_columns_kv
 
         call = functools.partial(write_cache_columns_kv, interpret=not on_tpu)
-        if mesh is not None and "data" in mesh.shape and b % mesh.shape["data"] == 0:
-            call = _shard_over_data(call, mesh, n_arrays=4, n_outs=2)
+        call = shard_pallas_over_data(call, mesh, b, n_arrays=4, n_outs=2)
         return call(ck, cv, ku, vu, pos - 1)
     return (
         jax.lax.dynamic_update_slice(

@@ -264,24 +264,14 @@ class MultiHeadedAttention(nn.Module):
             call = functools.partial(
                 group_attend_anc, width=width, interpret=not on_tpu
             )
-            if (
-                mesh is not None
-                and "data" in mesh.shape
-                and b % mesh.shape["data"] == 0
-            ):
-                # pod-batched decode: the kernel runs per data shard; inputs
-                # are already batch-sharded by the outer jit, so entry/exit
-                # is a no-op resharding
-                from jax.sharding import PartitionSpec as P
+            # pod-batched decode: the kernel runs per data shard; inputs are
+            # already batch-sharded by the outer jit, so entry/exit is a
+            # no-op resharding
+            from tailored_avsr_tpu.parallel.mesh import (
+                shard_pallas_over_data,
+            )
 
-                bs = P("data")
-                # check_vma=False: pallas_call declares no varying-mesh-axes
-                # metadata, so the replication checker cannot analyze it
-                call = jax.shard_map(
-                    call, mesh=mesh,
-                    in_specs=(bs, bs, bs, bs, bs, bs, P()),
-                    out_specs=bs, check_vma=False,
-                )
+            call = shard_pallas_over_data(call, mesh, b, n_arrays=6, n_outs=1)
             out = call(
                 k, v, qg,
                 k_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),

@@ -22,6 +22,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def shard_pallas_over_data(call, mesh, batch: int, n_arrays: int, n_outs: int):
+    """shard_map ``call`` (n leading batch-dim-0 array args + one trailing
+    scalar) over the mesh's 'data' axis — or return it unchanged when there
+    is no 'data' axis or the batch doesn't divide it.
+
+    GSPMD has no partitioning rule for a pallas_call, so under a mesh the
+    silent alternative is full operand replication; this keeps the beam
+    decode's Pallas kernels (group attend, cache column writes) per-shard.
+    Used by ops.attention.attend_kv_anc and decode.beam_search's cache
+    writers — one source of truth for the specs and the check_vma stance.
+    """
+    if mesh is None or "data" not in mesh.shape or batch % mesh.shape["data"]:
+        return call
+    bs = P("data")
+    # check_vma=False: pallas_call declares no varying-mesh-axes metadata,
+    # so the replication checker cannot analyze it
+    return jax.shard_map(
+        call, mesh=mesh,
+        in_specs=tuple([bs] * n_arrays) + (P(),),
+        out_specs=bs if n_outs == 1 else tuple([bs] * n_outs),
+        check_vma=False,
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
