@@ -246,22 +246,28 @@ def beam_search(
     k = config.beam_size
     p = min(v, max(1, int(config.pre_beam_ratio * k)))
     # decode at most one token per encoder frame; a positive maxlenratio also
-    # caps the COMPILED loop length (smaller token buffer, shorter worst case)
-    lmax = t if config.maxlenratio == 0.0 else max(
-        1, min(t, int(config.maxlenratio * t))
-    )
+    # caps the COMPILED loop length (smaller token buffer, shorter worst
+    # case); a NEGATIVE maxlenratio is espnet's constant max output length
+    # (|maxlenratio| tokens regardless of input length — ref
+    # avsr_inference.py:871-872), still capped at one token per frame here
+    # (KV caches are sized from t; joint CTC scores longer outputs -inf)
+    if config.maxlenratio == 0.0:
+        lmax = t
+    elif config.maxlenratio < 0.0:
+        lmax = max(1, min(t, int(-config.maxlenratio)))
+    else:
+        lmax = max(1, min(t, int(config.maxlenratio * t)))
     n = b * k
 
     use_ctc = config.ctc_weight > 0.0
     att_w = 1.0 - config.ctc_weight
-    maxlen = jnp.maximum(
-        1,
-        (
-            enc_lens
-            if config.maxlenratio == 0.0
-            else jnp.floor(config.maxlenratio * enc_lens).astype(jnp.int32)
-        ),
-    )  # (B,)
+    if config.maxlenratio == 0.0:
+        maxlen = enc_lens
+    elif config.maxlenratio < 0.0:
+        maxlen = jnp.full_like(enc_lens, lmax)
+    else:
+        maxlen = jnp.floor(config.maxlenratio * enc_lens).astype(jnp.int32)
+    maxlen = jnp.maximum(1, maxlen)  # (B,)
     # the loop runs lmax steps; an unclamped maxlen (maxlenratio > 1) would
     # never hit the force-eos gate and silently drop unfinished hypotheses
     maxlen = jnp.minimum(maxlen, lmax)

@@ -273,3 +273,20 @@ def test_bf16_activations_propagate():
     out_t, _ = vf.apply(vv, vid, jnp.array([2]), train=True,
                         mutable=["batch_stats"])[0]
     assert out_t.dtype == jnp.bfloat16
+
+
+def test_negative_maxlenratio_constant_cap(tmp_path):
+    """espnet semantics: maxlenratio < 0 means |maxlenratio| is a CONSTANT
+    max output length regardless of input frames (ref avsr_inference.py:
+    871-872). Hypotheses must never exceed it."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_fused_beam_ci import make_batch, make_cfg
+
+    from tailored_avsr_tpu.inference import Speech2Text
+
+    s2t = Speech2Text(make_cfg(tmp_path, maxlenratio=-2.0, nbest=2))
+    res = s2t.nbest(make_batch(b=2))  # [(text, tokens, ids, score)] lists
+    assert res and all(len(h[2]) <= 2 for hyps in res for h in hyps)
+    # sanity: the uncapped decode of the same inputs CAN run longer
+    free = Speech2Text(make_cfg(tmp_path)).nbest(make_batch(b=2))
+    assert max(len(h[2]) for hyps in free for h in hyps) >= 1
