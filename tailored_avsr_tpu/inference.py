@@ -176,7 +176,12 @@ class Speech2Text:
         # attention/LM rescoring pass (espnet BeamSearchTimeSync capability,
         # ref avsr_inference.py:33-41, in its TPU-friendly U2-style form)
         self.decode_mode = str(inf.get("decode_mode", "label_sync"))
-        self.pre_beam = int(inf.get("pre_beam", self.beam_config.beam_size))
+        # espnet prunes partial CTC scoring to 1.5x the beam by default
+        # (BeamSearchTimeSync and the label-sync partial scorers share the
+        # pre_beam_ratio=1.5 convention)
+        self.pre_beam = int(
+            inf.get("pre_beam", int(1.5 * self.beam_config.beam_size))
+        )
         # length segments for the decoder's self-attn KV cache in the beam
         # loop (per-step gather + attention skip segments beyond pos; exact).
         # 1 = plain contiguous cache (default: measured faster at the beam-10
