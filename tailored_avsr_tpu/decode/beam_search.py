@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 # shard_map wrapper for the Pallas cache kernels under pod-batched decode
 # (one source of truth, shared with ops.attention.attend_kv_anc)
+from tailored_avsr_tpu.ops.backend import is_tpu_backend
 from tailored_avsr_tpu.parallel.mesh import shard_pallas_over_data
 
 from tailored_avsr_tpu.decode.ctc_prefix import (
@@ -109,7 +110,7 @@ def write_beam_column(
     """
     b, h, km, lc, dk = x.shape
     upd = new_col[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = is_tpu_backend()
     # TAVSR_FORCE_PALLAS_WRITES=1: run the Pallas RMW kernel in interpret
     # mode on CPU so CI exercises it inside the full beam graph
     if on_tpu or os.environ.get("TAVSR_FORCE_PALLAS_WRITES", "0") == "1":
@@ -141,7 +142,7 @@ def write_beam_columns_kv(
     b, h, km, lc, dk = ck.shape
     ku = k_new[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
     vu = v_new[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = is_tpu_backend()
     if on_tpu or os.environ.get("TAVSR_FORCE_PALLAS_WRITES", "0") == "1":
         from tailored_avsr_tpu.ops.cache_update import write_cache_columns_kv
 

@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from tailored_avsr_tpu.ops.backend import is_tpu_backend
 from tailored_avsr_tpu.ops.masking import MASK_MIN
 
 # ancestry-beam group attend: fused Pallas kernel on TPU (see attend_kv_anc).
@@ -245,7 +246,7 @@ class MultiHeadedAttention(nn.Module):
         q = q_heads  # (N, H, 1, dk)
         scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
         qg = q[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3)
-        on_tpu = jax.devices()[0].platform != "cpu"
+        on_tpu = is_tpu_backend()
         use_fused = (
             (on_tpu and _FUSED_GROUP_ATTEND) if fused is None else bool(fused)
         )

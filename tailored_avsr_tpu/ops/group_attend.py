@@ -123,9 +123,8 @@ def group_attend_anc(
     # all heads fit in one step (hb = H).
     leaf_bytes = km * lc * dk * jnp.dtype(k.dtype).itemsize
     hb = h
+    # exits with hb == 1 or h % hb == 0 satisfied (hb == 1 divides anything)
     while hb > 1 and (h % hb != 0 or hb * leaf_bytes > (3 << 20)):
-        hb -= 1
-    while h % hb != 0:
         hb -= 1
     row3 = lambda i, j, pos_ref: (i, 0, 0)
     row = lambda i, j, pos_ref: (i, j, 0, 0)
