@@ -60,10 +60,14 @@ def _group_attend_kernel(
     anc = anc_ref[0]  # (K, Lc)
     tt = jax.lax.broadcasted_iota(jnp.int32, (km, lc), 1)
     live = tt < pos_ref[0] - 1
-    # valid[i, j*Lc + t] = (anc[i, t] == j) & live[i, t]; j unrolled statically
-    valid = jnp.concatenate(
-        [(anc == j) & live for j in range(km)], axis=1
-    )  # (K, K*Lc) bool
+    # valid[i, j*Lc + t] = (anc[i, t] == j) & live[i, t]; j unrolled statically.
+    # Concatenate in i32, not bool: Mosaic has no vreg layout for concatenated
+    # i1 vectors ("Invalid vector register cast", bitcast_vreg i1->i32).
+    valid_i = jnp.concatenate(
+        [((anc == j) & live).astype(jnp.int32) for j in range(km)], axis=1
+    )  # (K, K*Lc) {0,1}
+    valid = valid_i > 0
+    valid_f = valid_i.astype(jnp.float32)
     for hi in range(hb):
         q = q_ref[0, hi]  # (K, dk)
         k2 = k_ref[0, hi].reshape(km * lc, dk)
@@ -77,7 +81,7 @@ def _group_attend_kernel(
             axis=1, keepdims=True,
         ) * scale  # (K, 1)
         m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_new)
-        p = jnp.exp(s - m) * valid  # (K, K*Lc) f32
+        p = jnp.exp(s - m) * valid_f  # (K, K*Lc) f32
         p_new = jnp.exp(s_new - m)  # (K, 1)
         lsum = jnp.sum(p, axis=1, keepdims=True) + p_new
         w = (p / lsum).astype(v_ref.dtype)
