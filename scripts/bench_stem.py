@@ -26,15 +26,18 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=5):
+    """Device-time only: block on completion without fetching the result.
+
+    Fetching outputs (np.asarray) would ship hundreds of MB over the build
+    tunnel and swamp the compute time by orders of magnitude.
+    """
     import jax
 
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    jax.block_until_ready(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

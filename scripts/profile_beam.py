@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--protocol", default="anc",
                     help="beam KV-cache protocol: anc | append")
     ap.add_argument("--unroll", type=int, default=2)
+    ap.add_argument("--fused", default="auto", choices=["auto", "0", "1"],
+                    help="group-attend kernel: auto (TPU default) | 0 XLA | 1 Pallas")
     ap.add_argument("--out", default="/tmp/beam_profile")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
@@ -61,6 +63,8 @@ def main():
         lm_weight=0.4 if args.lm else 0.0, early_exit=False,
         cache_protocol=args.protocol, unroll=args.unroll,
     )
+    if args.fused != "auto":
+        cfg.inference_conf["fused_group_attend"] = args.fused == "1"
     s2t = Speech2Text(cfg, lm_config=lm_cfg)
     d = s2t.device_put_batch(dict(data))
     out = s2t._decode_arrays(d)  # compile + warmup
