@@ -12,10 +12,11 @@ set -u
 export PYTHONPATH=/root/.axon_site:/root/repo
 cd /root/repo
 LOG=/tmp/fusedday
-mkdir -p "$LOG"
+ARTIFACTS=${ARTIFACTS:-/root/repo/measurements/r4/fusedday}
+mkdir -p "$LOG" "$ARTIFACTS"
 : > "$LOG/status"
 
-note() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG/status"; }
+note() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG/status"; cp "$LOG/status" "$ARTIFACTS/status" 2>/dev/null || true; }
 
 TPUDAY_PID=${1:-0}
 if [ "$TPUDAY_PID" != "0" ]; then
@@ -25,14 +26,19 @@ fi
 note "tpu_day done; starting fused measurement pass"
 
 run_stage() { # name timeout cmd...
-  local name=$1 tmo=$2; shift 2
+  local name=$1 tmo=$2 rc; shift 2
   for attempt in 1 2; do
     note "stage $name attempt $attempt: $*"
-    if timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1; then
+    timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+    rc=$?
+    # Persist evidence into the repo AS the stage completes — /tmp dies with
+    # the VM, and a trailing cp dies with the tunnel.
+    mkdir -p "$ARTIFACTS" && cp "$LOG/$name.log" "$ARTIFACTS/" 2>/dev/null || true
+    if [ "$rc" -eq 0 ]; then
       note "stage $name OK"
       return 0
     fi
-    note "stage $name FAILED rc=$? (attempt $attempt), tail:"
+    note "stage $name FAILED rc=$rc (attempt $attempt), tail:"
     tail -3 "$LOG/$name.log" | tee -a "$LOG/status"
     sleep 60
   done
@@ -121,8 +127,6 @@ note "retuned bench_tuning.json: $(cat /root/repo/bench_tuning.json 2>/dev/null)
 # Dress-rehearse exactly what the driver runs at round end.
 run_stage bench 7500 python bench.py
 
-# Persist both days' evidence into the repo (tmp dies with the VM).
-mkdir -p /root/repo/measurements/r3
-cp -r /tmp/tpuday /root/repo/measurements/r3/tpuday 2>/dev/null || true
-cp -r /tmp/fusedday /root/repo/measurements/r3/fusedday 2>/dev/null || true
+# Per-stage copies already landed in $ARTIFACTS; this is just a final sync.
+cp -r "$LOG"/. "$ARTIFACTS"/ 2>/dev/null || true
 note "ALL DONE"

@@ -13,10 +13,11 @@ set -u
 export PYTHONPATH=/root/.axon_site:/root/repo
 cd /root/repo
 LOG=/tmp/tpuday
-mkdir -p "$LOG"
+ARTIFACTS=${ARTIFACTS:-/root/repo/measurements/r4/tpuday}
+mkdir -p "$LOG" "$ARTIFACTS"
 : > "$LOG/status"
 
-note() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG/status"; }
+note() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG/status"; cp "$LOG/status" "$ARTIFACTS/status" 2>/dev/null || true; }
 
 note "waiting for TPU backend..."
 while true; do
@@ -33,14 +34,19 @@ np.asarray(x @ x)
 done
 
 run_stage() { # name timeout cmd...
-  local name=$1 tmo=$2; shift 2
+  local name=$1 tmo=$2 rc; shift 2
   for attempt in 1 2; do
     note "stage $name attempt $attempt: $*"
-    if timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1; then
+    timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+    rc=$?
+    # Persist evidence into the repo AS the stage completes — /tmp dies with
+    # the VM, and a trailing cp dies with the tunnel.
+    mkdir -p "$ARTIFACTS" && cp "$LOG/$name.log" "$ARTIFACTS/" 2>/dev/null || true
+    if [ "$rc" -eq 0 ]; then
       note "stage $name OK"
       return 0
     fi
-    note "stage $name FAILED rc=$? (attempt $attempt), tail:"
+    note "stage $name FAILED rc=$rc (attempt $attempt), tail:"
     tail -3 "$LOG/$name.log" | tee -a "$LOG/status"
     sleep 60
   done

@@ -199,6 +199,10 @@ class BeamSearchConfig:
     # Result-exact: the at-most-one extra step past the stop condition cannot
     # change the returned n-best (see the note above ``cond`` in beam_search).
     unroll: int = 2
+    # weight for the n-gram part scorer (``ngram_part_fn`` in beam_search):
+    # applied to the pre-beam candidates only, espnet NgramPartScorer
+    # semantics (the full n-gram scorer instead rides lm_score_fn)
+    ngram_weight: float = 0.0
     # Phased attend widths (ancestry protocol): run the loop as consecutive
     # while_loops where steps i < w attend only cache columns [0, w) — the
     # fused group-attend kernel's BlockSpec narrows, so early steps read only
@@ -230,6 +234,7 @@ def beam_search(
     att_state: Optional[object] = None,
     att_gather_fn: Optional[Callable] = None,
     att_fn_for_width: Optional[Callable] = None,
+    ngram_part_fn: Optional[Callable] = None,
 ) -> BeamSearchResult:
     """att_score_fn(ys (N, L+2), pos scalar) -> (N, V) step log-probs.
 
@@ -345,6 +350,12 @@ def beam_search(
         else:
             psi = r_new = None
             cand_scores = pre_scores
+        # n-gram part scorer: like CTC, scores only the pre-beam candidates
+        # (espnet PartialScorerInterface — selection above ran without it)
+        if ngram_part_fn is not None and config.ngram_weight > 0.0:
+            cand_scores = cand_scores + config.ngram_weight * ngram_part_fn(
+                ys_flat, jnp.asarray(pos), cand_ids
+            )
         total = scores.reshape(n, 1) + cand_scores  # (N, P)
         total = jnp.maximum(total, NEG_INF)
 

@@ -116,6 +116,18 @@ class NgramScorer:
         """(N, L), scalar pos -> (N, V) conditional log-probs (jittable)."""
         return self.table[self.context_index(ys, jnp.asarray(pos))]
 
+    def score_step_candidates(
+        self, ys: jnp.ndarray, pos, cand: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Part-scorer variant for the label-sync beam: (N, L) sos-prefixed
+        buffers + scalar pos + (N, P) pre-beam candidate ids -> (N, P)
+        log P(cand | last order-1 tokens). Same numbers as ``score_step``
+        gathered at ``cand`` — espnet's ``NgramPartScorer`` semantics (scores
+        only the pre-beam candidates, does not participate in candidate
+        selection; ref avsr_inference.py:167-178)."""
+        idx = self.context_index(ys, jnp.asarray(pos))  # (N,)
+        return self.table[idx[:, None], cand]
+
     def score_candidates(
         self, tokens: jnp.ndarray, lengths: jnp.ndarray, cand: jnp.ndarray
     ) -> jnp.ndarray:

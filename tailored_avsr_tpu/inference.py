@@ -46,7 +46,8 @@ _INFERENCE_KEYS = frozenset({
     "pre_beam", "cache_segments", "fused_group_attend", "cache_protocol",
     "video_scale", "video_mean", "video_std", "device_normalize",
     "quantize_asr_model", "quantize_lm", "quantize_dtype",
-    "quantize_min_size", "ngram_weight", "ngram_file", "data_parallel",
+    "quantize_min_size", "ngram_weight", "ngram_file", "ngram_scorer",
+    "data_parallel",
     "batch_size",  # consumed by the avsr_main inference dataloader
     "hugging_face_decoder_max_length",  # inert without the gated hf decoder
 })
@@ -71,11 +72,11 @@ def _normalize_inference_conf(inf: dict, config) -> dict:
             raise ValueError(
                 f"time_sync: true conflicts with decode_mode: {mode!r}"
             )
-    scorer = inf.pop("ngram_scorer", "full")
-    if scorer != "full":
-        raise NotImplementedError(
-            f"ngram_scorer {scorer!r}: only the full n-gram scorer is "
-            "implemented (decode/ngram.py)"
+    scorer = inf.get("ngram_scorer", "full")
+    if scorer not in ("full", "part"):
+        raise ValueError(
+            f"ngram_scorer must be 'full' or 'part' (ref "
+            f"avsr_inference.py:167-178), got {scorer!r}"
         )
     tconf = inf.pop("transducer_conf", None)
     if tconf:
@@ -227,6 +228,9 @@ class Speech2Text:
         self.quantize_min_size = int(inf.get("quantize_min_size", 4096))
         self.ngram = None
         self.ngram_weight = float(inf.get("ngram_weight", 0.0))
+        # 'full' participates in candidate selection (rides the LM slot);
+        # 'part' scores only the pre-beam candidates (espnet NgramPartScorer)
+        self.ngram_mode = str(inf.get("ngram_scorer", "full"))
         # the reference takes the n-gram ARPA/binary via inference_conf
         # ngram_file (ref avsr_inference.py:84); the constructor arg wins
         ngram_path = ngram_path or inf.get("ngram_file")
@@ -387,9 +391,14 @@ class Speech2Text:
     def _build_decode(self, shape_key):
         model, lm, lm_vars = self.model, self.lm, self.lm_variables
         cfg = self.beam_config
-        # n-gram-only fusion rides on the lm_weight slot
-        if lm is None and self.ngram is not None and self.ngram_weight > 0:
-            cfg = dataclasses.replace(cfg, lm_weight=self.ngram_weight)
+        # full n-gram-only fusion rides on the lm_weight slot; the part
+        # scorer instead rides BeamSearchConfig.ngram_weight (pre-beam
+        # candidates only, after selection — espnet NgramPartScorer)
+        if self.ngram is not None and self.ngram_weight > 0:
+            if self.ngram_mode == "part":
+                cfg = dataclasses.replace(cfg, ngram_weight=self.ngram_weight)
+            elif lm is None:
+                cfg = dataclasses.replace(cfg, lm_weight=self.ngram_weight)
         is_maskctc = self.is_maskctc
         n_iter, thr = self.maskctc_n_iterations, self.maskctc_threshold
 
@@ -523,6 +532,14 @@ class Speech2Text:
                 getattr(model.decoder, "layer_variant", None) == "transformer"
             )
             ngram, ngram_w = self.ngram, self.ngram_weight
+            # 'part' mode: never fold the n-gram into the full scorers below
+            ngram_full = ngram if self.ngram_mode == "full" else None
+            ngram_part_fn = (
+                ngram.score_step_candidates
+                if ngram is not None and ngram_w > 0
+                and self.ngram_mode == "part"
+                else None
+            )
             att_w = 1.0 - cfg.ctc_weight
             # fold the LM into the decoder's stateful scorer so its KV cache
             # rides in att_state (otherwise the 16-layer LM is a full-prefix
@@ -647,9 +664,9 @@ class Speech2Text:
                                         *a, fused=fused, mesh=mesh
                                     ),
                                 )
-                                if ngram is not None and ngram_w > 0:
+                                if ngram_full is not None and ngram_w > 0:
                                     lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
-                                        ngram.score_step(ys, pos)
+                                        ngram_full.score_step(ys, pos)
                                     )
                                 lp = lp + lm_scale * lm_lp
                                 out["lm_new"] = cast_kv(lm_new)
@@ -716,9 +733,9 @@ class Speech2Text:
                             lmv, ys, pos, state["lm"],
                             method="score_step_append",
                         )
-                        if ngram is not None and ngram_w > 0:
+                        if ngram_full is not None and ngram_w > 0:
                             lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
-                                ngram.score_step(ys, pos)
+                                ngram_full.score_step(ys, pos)
                             )
                         return dec_lp + lm_scale * lm_lp, {
                             "dec": state["dec"], "dec_new": cast_kv(dec_new),
@@ -754,9 +771,9 @@ class Speech2Text:
                             lmv, ys, pos, state["lm"],
                             method="score_step_cached",
                         )
-                        if ngram is not None and ngram_w > 0:
+                        if ngram_full is not None and ngram_w > 0:
                             lm_lp = lm_lp + (ngram_w / cfg.lm_weight) * (
-                                ngram.score_step(ys, pos)
+                                ngram_full.score_step(ys, pos)
                             )
                         return dec_lp + lm_scale * lm_lp, {
                             "dec": dec_c, "lm": lm_c,
@@ -824,19 +841,22 @@ class Speech2Text:
             if lm is not None and cfg.lm_weight > 0 and not fold_lm:
                 def lm_fn(ys, pos):  # noqa: E306
                     out = lm.apply(lmv, ys, pos, method="score_step")
-                    if ngram is not None:
+                    if ngram_full is not None:
                         # fold the n-gram in, rescaled onto the lm weight
-                        out = out + (ngram_w / cfg.lm_weight) * ngram.score_step(ys, pos)
+                        out = out + (ngram_w / cfg.lm_weight) * (
+                            ngram_full.score_step(ys, pos)
+                        )
                     return out
-            elif ngram is not None and ngram_w > 0:
+            elif ngram_full is not None and ngram_w > 0:
                 def lm_fn(ys, pos):  # noqa: E306
-                    return ngram.score_step(ys, pos)
+                    return ngram_full.score_step(ys, pos)
 
             res = beam_search(
                 att_fn, ctc_logp, enc_lens, model.sos, model.eos, cfg,
                 lm_score_fn=lm_fn, att_state=att_state,
                 att_gather_fn=att_gather_fn,
                 att_fn_for_width=att_w_factory,
+                ngram_part_fn=ngram_part_fn,
             )
             return res.tokens, res.lengths, res.scores
 

@@ -119,8 +119,10 @@ def test_inference_conf_unknown_and_reference_keys(tmp_path):
         Speech2Text(make_cfg(tmp_path, dtype="bfloat16"))
     with pytest.raises(NotImplementedError, match="streaming"):
         Speech2Text(make_cfg(tmp_path, streaming=True))
-    with pytest.raises(NotImplementedError, match="ngram_scorer"):
-        Speech2Text(make_cfg(tmp_path, ngram_scorer="part"))
+    s2t = Speech2Text(make_cfg(tmp_path, ngram_scorer="part"))
+    assert s2t.ngram_mode == "part"
+    with pytest.raises(ValueError, match="ngram_scorer"):
+        Speech2Text(make_cfg(tmp_path, ngram_scorer="both"))
     with pytest.raises(NotImplementedError, match="transducer_conf"):
         Speech2Text(make_cfg(tmp_path, transducer_conf={"search_type": "tsd"}))
 

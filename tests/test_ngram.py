@@ -90,6 +90,61 @@ def test_score_candidates_matches_score_step(tmp_path):
         np.testing.assert_allclose(float(got[i]), float(want), rtol=1e-6)
 
 
+def test_part_scorer_gather_matches_score_step(tmp_path):
+    """score_step_candidates == score_step gathered at the candidate ids."""
+    tokens = ["<blank>", "A", "B", "C", "<sos/eos>"]
+    sc = NgramScorer(write_arpa(tmp_path), tokens, order=2)
+    ys = jnp.array([[4, 1, 2, 0], [4, 2, 0, 0]])
+    cand = jnp.array([[1, 3, 0], [2, 2, 4]])
+    got = sc.score_step_candidates(ys, 3, cand)
+    full = sc.score_step(ys, 3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.take_along_axis(np.asarray(full), np.asarray(cand), 1)
+    )
+
+
+def test_part_scorer_beam_matches_full_when_prebeam_covers_vocab(tmp_path):
+    """With pre_beam >= V the candidate sets are identical in both modes, so
+    the part scorer (espnet NgramPartScorer semantics — scores only pre-beam
+    candidates after selection) must return the exact n-best of the full
+    scorer (ref avsr_inference.py:167-178)."""
+    from tailored_avsr_tpu.decode import BeamSearchConfig, beam_search
+
+    tokens = ["<blank>", "A", "B", "C", "<sos/eos>"]
+    sc = NgramScorer(write_arpa(tmp_path), tokens, order=2)
+    v, t, b = 5, 6, 2
+    key = jax.random.PRNGKey(1)
+    ctc_logp = jax.nn.log_softmax(jax.random.normal(key, (b, t, v)), -1)
+    att_tab = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(2), (v, v)), -1
+    )
+
+    def att(ys, pos):  # context-dependent but cheap deterministic scorer
+        last = jnp.take_along_axis(
+            ys, jnp.full((ys.shape[0], 1), pos - 1), axis=1
+        ).squeeze(1)
+        return att_tab[last]
+
+    lens = jnp.array([t, t - 2])
+    # beam 4, ratio 1.5 -> pre_beam 6 >= v: selection covers the whole vocab
+    full = beam_search(
+        att, ctc_logp, lens, 4, 4,
+        BeamSearchConfig(beam_size=4, ctc_weight=0.3, lm_weight=0.7, nbest=3),
+        lm_score_fn=sc.score_step,
+    )
+    part = beam_search(
+        att, ctc_logp, lens, 4, 4,
+        BeamSearchConfig(beam_size=4, ctc_weight=0.3, ngram_weight=0.7,
+                         nbest=3),
+        ngram_part_fn=sc.score_step_candidates,
+    )
+    np.testing.assert_array_equal(np.asarray(full.tokens), np.asarray(part.tokens))
+    np.testing.assert_array_equal(np.asarray(full.lengths), np.asarray(part.lengths))
+    np.testing.assert_allclose(
+        np.asarray(full.scores), np.asarray(part.scores), atol=1e-5
+    )
+
+
 def test_timesync_ngram_fusion_changes_ranking(tmp_path):
     """In-loop n-gram fusion in the time-synchronous search shifts scores by
     ngram_weight * sum log P(token | context)."""
