@@ -140,12 +140,23 @@ def run_training(args, config, tokenizer, converter, transforms):
     eval_step = make_eval_step(model)
 
     mesh = None
-    if bool(ts.get("data_parallel", False)) and jax.device_count() > 1:
-        from tailored_avsr_tpu.parallel.mesh import make_mesh, replicate
+    model_par = int(ts.get("model_parallel", 1))
+    if (
+        bool(ts.get("data_parallel", False)) or model_par > 1
+    ) and jax.device_count() > 1:
+        from tailored_avsr_tpu.parallel.mesh import make_mesh, shard_train_state
 
-        mesh = make_mesh()
-        state = replicate(state, mesh)
-        print(f"data-parallel training mesh: {dict(mesh.shape)}")
+        if jax.device_count() % max(model_par, 1):
+            raise ValueError(
+                f"training_settings model_parallel={model_par} must divide "
+                f"the device count ({jax.device_count()})"
+            )
+        mesh = make_mesh(model_parallel=model_par)
+        # model_parallel == 1 degenerates to replicated params (plain DP);
+        # > 1 shards FFN/cgMLP/attention-projection kernels and their Adam
+        # moments over 'model' (parallel/mesh.py tp_param_spec)
+        state = shard_train_state(state, mesh)
+        print(f"training mesh: {dict(mesh.shape)}")
 
     def place_batch(bt):
         if mesh is None:

@@ -46,6 +46,75 @@ def shard_pallas_over_data(call, mesh, batch: int, n_arrays: int, n_outs: int):
     )
 
 
+def tp_param_spec(path, x, model_parallel: int) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for one parameter.
+
+    Column-parallel (output dim over 'model'): the OPENING matmul of each
+    FFN/cgMLP pair and the attention q/k/v/pos projections — their outputs
+    stay sharded through the elementwise middle. Row-parallel (input dim
+    over 'model'): the CLOSING matmul (w_2 / channel_proj2 / linear_out) —
+    XLA inserts the psum over 'model' after it. Per-head rel-pos u/v biases
+    shard over the head axis. Everything else replicates (the models are
+    43-104M params — SURVEY.md §2.4 keeps TP optional headroom).
+
+    Works on any pytree whose path CONTAINS the parameter names — optimizer
+    moment trees (optax mu/nu) carry the same path suffix as params, so the
+    same rule shards them consistently.
+    """
+    if model_parallel <= 1 or not hasattr(x, "ndim"):
+        return P()
+    names = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+    if x.ndim == 2 and x.shape[-1] % model_parallel == 0 and (
+        "w_1" in names
+        or "channel_proj1" in names
+        or "linear_q" in names
+        or "linear_k" in names
+        or "linear_v" in names
+        or "linear_pos" in names
+    ):
+        return P(None, "model")
+    if x.ndim == 2 and x.shape[0] % model_parallel == 0 and (
+        "w_2" in names or "channel_proj2" in names or "linear_out" in names
+    ):
+        return P("model", None)
+    if x.ndim == 2 and (
+        "pos_bias_u" in names or "pos_bias_v" in names
+    ) and x.shape[0] % model_parallel == 0:
+        return P("model", None)  # (heads, d_k): shard over heads
+    return P()  # replicate
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: params and optimizer moments get the
+    tensor-parallel specs (``tp_param_spec`` — with model_parallel == 1 that
+    degenerates to full replication, i.e. plain data parallelism), batch
+    stats and step replicate.
+
+    The optimizer state is sharded by the SAME path rules: optax moment
+    trees (mu/nu) embed the parameter path, so each moment leaf lands on the
+    same devices as its parameter — no replicated Adam state at TP > 1.
+    """
+    model_par = int(mesh.shape.get("model", 1))
+
+    def place_tp(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: jax.device_put(
+                x, NamedSharding(mesh, tp_param_spec(path, x, model_par))
+            ) if hasattr(x, "ndim") else x,
+            tree,
+        )
+
+    rep = NamedSharding(mesh, P())
+    return state.replace(
+        step=jax.device_put(state.step, rep),
+        params=place_tp(state.params),
+        batch_stats=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state.batch_stats
+        ),
+        opt_state=place_tp(state.opt_state),
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,

@@ -67,9 +67,30 @@ def test_pod_decoding_matches_single_device(tmp_path):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_cli_training_matches_single(tmp_path):
+    """training_settings model_parallel: 2 trains the model over a
+    ('data','model') mesh via the CLI — Megatron-style sharded FFN/cgMLP and
+    attention projections (parallel/mesh.py tp_param_spec) — and the resulting
+    parameters match single-device training numerically (the math is
+    identical; only matmul reduction order differs)."""
+    # TP's row-parallel psum adds one more reduction-order difference than DP,
+    # so slightly more near-zero-gradient elements land outside tolerance
+    _cli_train_parity(
+        tmp_path,
+        {"data_parallel": True, "model_parallel": 2},
+        name="tp",
+        bad_per_10k=3,
+    )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_data_parallel_cli_training_matches_single(tmp_path):
     """training_settings data_parallel: true shards the batch over the mesh;
     the resulting parameters match single-device training numerically."""
+    _cli_train_parity(tmp_path, {"data_parallel": True}, name="pod")
+
+
+def _cli_train_parity(tmp_path, parallel_settings, name, bad_per_10k=1):
     import os
 
     import flax.serialization
@@ -90,13 +111,13 @@ def test_data_parallel_cli_training_matches_single(tmp_path):
 
     avsr_main.build_transforms = det_transforms
     outs = {}
-    for name, dp in (("single", False), ("pod", True)):
+    for run, extra in (("single", {}), (name, parallel_settings)):
         cfg = write_tiny_config(
             tmp_path, token_path,
             training_settings={"epochs": 1, "average_epochs": 1,
-                               "batch_size": 4, "data_parallel": dp},
+                               "batch_size": 4, **extra},
         )
-        out_dir = str(tmp_path / f"exp_{name}")
+        out_dir = str(tmp_path / f"exp_{run}")
         # host-side augmentations draw from the global numpy RNG: pin it so
         # both runs consume identical augmented batches
         np.random.seed(0)
@@ -110,15 +131,15 @@ def test_data_parallel_cli_training_matches_single(tmp_path):
             "--test-dataset", csv_path,
             "--mode", "training",
             "--output-dir", out_dir,
-            "--output-name", name,
+            "--output-name", run,
         ])
         ckpt = os.path.join(out_dir, "models", "model_001.ckpt")
         assert os.path.exists(ckpt)
         with open(ckpt, "rb") as f:
-            outs[name] = flax.serialization.msgpack_restore(f.read())
+            outs[run] = flax.serialization.msgpack_restore(f.read())
     avsr_main.build_transforms = real_build
     a = jax.tree_util.tree_leaves(outs["single"]["params"])
-    b = jax.tree_util.tree_leaves(outs["pod"]["params"])
+    b = jax.tree_util.tree_leaves(outs[name]["params"])
     assert len(a) == len(b)
     # near-zero gradients can flip Adam's update sign under a different
     # reduction order; require agreement on all non-degenerate elements
@@ -128,4 +149,4 @@ def test_data_parallel_cli_training_matches_single(tmp_path):
         close = np.isclose(x, y, rtol=2e-3, atol=2e-5)
         total += x.size
         bad += int((~close).sum())
-    assert bad <= max(2, total // 10000), (bad, total)
+    assert bad <= max(2, bad_per_10k * total // 10000), (bad, total)
