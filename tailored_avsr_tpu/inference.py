@@ -427,7 +427,12 @@ class Speech2Text:
                         method=lambda m, *a: m.joint_network(*a),
                     ).reshape(enc_t.shape[0], -1)
 
-                if cfg.beam_size > 1:
+                has_multiblank = bool(
+                    getattr(model, "transducer_multi_blank_durations", ()) or ()
+                )
+                # espnet only decodes multi-blank models with the multi-blank
+                # greedy search ("mbg"), whatever the beam width
+                if cfg.beam_size > 1 and not has_multiblank:
                     kk = cfg.beam_size
                     init_state = model.apply(
                         variables, enc_out.shape[0] * kk,
@@ -442,9 +447,22 @@ class Speech2Text:
                     variables, enc_out.shape[0],
                     method=lambda m, b: m.prediction_network.initial_state(b),
                 )
-                toks, count = transducer_greedy_decode(
-                    enc_out, enc_lens, pred_apply, joint_apply, init_state
+                mb_durs = tuple(
+                    getattr(model, "transducer_multi_blank_durations", ()) or ()
                 )
+                if mb_durs:
+                    # multi-blank greedy (ref avsr_inference.py:184-203): big
+                    # blanks <blank{d}> sit at blank_id-1-i, blank at len(durs)
+                    from tailored_avsr_tpu.ops.rnnt import multiblank_greedy_decode
+
+                    toks, count = multiblank_greedy_decode(
+                        enc_out, enc_lens, pred_apply, joint_apply, init_state,
+                        blank_id=len(mb_durs), durations=mb_durs,
+                    )
+                else:
+                    toks, count = transducer_greedy_decode(
+                        enc_out, enc_lens, pred_apply, joint_apply, init_state
+                    )
                 return (
                     toks[:, None], count[:, None],
                     jnp.zeros(count.shape)[:, None],

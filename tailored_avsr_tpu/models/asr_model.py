@@ -44,6 +44,11 @@ class ASRModel(nn.Module):
     postencoder: Optional[nn.Module] = None
     joint_network: Optional[nn.Module] = None  # transducer branch (optional
     prediction_network: Optional[nn.Module] = None  # path, ref :306-328)
+    # multi-blank transducer (ref src/models/espnet_model.py:130-141): big
+    # blanks <blank{d}> sit just before <blank> in the token list (the task
+    # factory inserts them, ref src/tasks/asr.py:496-502); empty = standard
+    transducer_multi_blank_durations: Tuple[int, ...] = ()
+    transducer_multi_blank_sigma: float = 0.05
     ctc_weight: float = 0.5
     interctc_weight: float = 0.0
     ignore_id: int = -1
@@ -195,6 +200,18 @@ class ASRModel(nn.Module):
     def _calc_transducer_loss(self, enc_out, enc_lens, text, text_lengths, deterministic):
         g = self.prediction_network(text, deterministic=deterministic)
         logits = self.joint_network(enc_out[:, :, None, :], g[:, None, :, :])
+        durs = self.transducer_multi_blank_durations
+        if durs:
+            # big blanks occupy indices blank_id-1-i (the task factory put
+            # <blank{d}> just before <blank>, which itself moved from 0 to
+            # len(durs) — ref src/tasks/asr.py:495-502, espnet_model.py:130-141)
+            from tailored_avsr_tpu.ops.rnnt import multiblank_rnnt_loss
+
+            return multiblank_rnnt_loss(
+                logits, enc_lens, text, text_lengths,
+                blank_id=len(durs), durations=durs,
+                sigma=self.transducer_multi_blank_sigma,
+            )
         return rnnt_loss(logits, enc_lens, text, text_lengths)
 
     # ---- inference helpers (used by decode/) -------------------------------

@@ -38,6 +38,9 @@ class AVSRModel(nn.Module):
     postencoder: Optional[nn.Module] = None
     joint_network: Optional[nn.Module] = None
     prediction_network: Optional[nn.Module] = None
+    # multi-blank transducer (ref src/models/avsr_espnet_model.py:142-153)
+    transducer_multi_blank_durations: Tuple[int, ...] = ()
+    transducer_multi_blank_sigma: float = 0.05
     ctc_weight: float = 0.5
     interctc_weight: float = 0.0
     ignore_id: int = -1

@@ -74,6 +74,112 @@ def rnnt_loss(
     return jnp.sum(nll) / b
 
 
+def multiblank_rnnt_loss(
+    logits: jnp.ndarray,  # (B, T, U+1, V) joint-network outputs
+    logit_lengths: jnp.ndarray,  # (B,) valid encoder frames
+    labels: jnp.ndarray,  # (B, U) label ids (>=0 where valid)
+    label_lengths: jnp.ndarray,  # (B,)
+    blank_id: int,
+    durations: Tuple[int, ...],  # big-blank durations, each > 1
+    sigma: float = 0.05,
+) -> jnp.ndarray:
+    """Batch-mean multi-blank RNNT negative log-likelihood.
+
+    Multi-blank transducer (Xu et al. 2022): alongside the standard blank,
+    "big blank" symbols advance time by duration d > 1 in one transition.
+    Matches the semantics the reference gets from espnet's vendored NeMo
+    ``MultiblankRNNTLossNumba`` (/root/reference/src/models/espnet_model.py:
+    130-141): big blanks sit JUST BEFORE the standard blank in the vocab —
+    duration ``durations[i]`` at index ``blank_id - 1 - i`` (the task factory
+    inserts ``<blank{d}>`` tokens at the blank index, src/tasks/asr.py:496-502,
+    pairing confirmed by the inference-side index map,
+    src/inference/avsr_inference.py:184-190) — and every transition log-prob
+    is under-normalized by ``sigma`` (paper's logit under-normalization:
+    paths with fewer transitions, i.e. using big blanks, pay less penalty).
+
+    Forward DP, same TPU formulation as ``rnnt_loss`` (lax.scan over T of an
+    associative logcumsumexp over U); the scan carries a rolling history of
+    the last max(durations) alpha rows so each big blank reads alpha[t-d]:
+
+        alpha[t, u] = LSE( alpha[t-1, u] + blank[t-1, u] - sigma,
+                           alpha[t, u-1] + emit[t, u-1] - sigma,
+                           alpha[t-d_i, u] + bb_i[t-d_i, u] - sigma ... )
+
+    and the likelihood terminates through ANY blank that lands exactly on
+    frame T: LSE over alpha[T-1,U]+blank - sigma and alpha[T-d_i,U]+bb_i
+    - sigma.
+    """
+    b, t, u1, v = logits.shape
+    durations = tuple(int(d) for d in durations)
+    assert durations and all(d > 1 for d in durations), durations
+    dmax = max(durations)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    blank = logp[..., blank_id]  # (B, T, U+1)
+    bbs = [logp[..., blank_id - 1 - i] for i in range(len(durations))]
+    safe_labels = jnp.where(labels >= 0, labels, 0)
+    emit = jnp.take_along_axis(
+        logp[:, :, :-1, :], safe_labels[:, None, :, None], axis=-1
+    ).squeeze(-1)  # (B, T, U)
+    u_valid = jnp.arange(u1 - 1)[None, :] < label_lengths[:, None]
+    emit = jnp.where(u_valid[:, None, :], emit - sigma, NEG_INF)
+    blank = blank - sigma
+    bbs = [x - sigma for x in bbs]
+
+    # (T, B, U+1) time-major; bb_shift[i][t] = bb_i[t - d_i] (NEG_INF pad:
+    # no big-blank arc can originate before frame 0)
+    blank_tm = blank.transpose(1, 0, 2)
+    emit_tm = emit.transpose(1, 0, 2)
+    pad = jnp.full((dmax, b, u1), NEG_INF, jnp.float32)
+    bb_shift = [
+        jnp.concatenate([pad[:d], x.transpose(1, 0, 2)], axis=0)[:t]
+        for d, x in zip(durations, bbs)
+    ]
+
+    def step(hist, inputs):
+        # hist: (dmax, B, U+1), hist[k] = alpha[t-1-k]; computing alpha[t]
+        blank_tm1, emit_t, bb_t = inputs
+        a_in = hist[0] + blank_tm1  # standard blank from t-1
+        for i, d in enumerate(durations):
+            a_in = jnp.logaddexp(a_in, hist[d - 1] + bb_t[i])
+        cum_e = jnp.cumsum(emit_t, axis=-1)
+        cum_e_pad = jnp.concatenate(
+            [jnp.zeros((b, 1), cum_e.dtype), cum_e], axis=-1
+        )
+        alpha_t = cum_e_pad + _logcumsumexp(a_in - cum_e_pad, axis=-1)
+        hist = jnp.concatenate([alpha_t[None], hist[:-1]], axis=0)
+        return hist, alpha_t
+
+    cum_e0 = jnp.cumsum(emit[:, 0, :], axis=-1)
+    alpha0 = jnp.concatenate([jnp.zeros((b, 1)), cum_e0], axis=-1)
+    hist0 = jnp.concatenate(
+        [alpha0[None], jnp.full((dmax - 1, b, u1), NEG_INF)], axis=0
+    )
+    xs = (
+        blank_tm[:-1],
+        emit_tm[1:],
+        jnp.stack([s[1:] for s in bb_shift], axis=1),  # (T-1, n_bb, B, U+1)
+    )
+    _, alphas = jax.lax.scan(step, hist0, xs)
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # (T, B, U+1)
+
+    batch_ix = jnp.arange(b)
+    t_last = jnp.clip(logit_lengths - 1, 0, t - 1)
+    ll = (
+        alphas[t_last, batch_ix, label_lengths]
+        + blank[batch_ix, t_last, label_lengths]
+    )
+    for i, d in enumerate(durations):
+        t_d = logit_lengths - d  # big blank from T-d lands exactly on T
+        valid = t_d >= 0
+        t_d_safe = jnp.clip(t_d, 0, t - 1)
+        term = (
+            alphas[t_d_safe, batch_ix, label_lengths]
+            + bbs[i][batch_ix, t_d_safe, label_lengths]
+        )
+        ll = jnp.logaddexp(ll, jnp.where(valid, term, NEG_INF))
+    return jnp.sum(-ll) / b
+
+
 class JointNetwork(nn.Module):
     """joint(h_enc, h_pred) = Dense_out(tanh(Dense(h_enc) + Dense(h_pred)))."""
 
@@ -215,6 +321,87 @@ def transducer_greedy_chunk(
         frame_step, (state, last0, tokens0, count0), jnp.arange(t)
     )
     return tokens, count, (state, last_emit)
+
+
+def multiblank_greedy_decode(
+    enc: jnp.ndarray,  # (B, T, D)
+    enc_lengths: jnp.ndarray,  # (B,)
+    pred_apply,  # (state, label (B,)) -> (state, (B, H))
+    joint_apply,  # (enc_t (B, D), g (B, H)) -> (B, V) logits
+    init_state,
+    blank_id: int,
+    durations: Tuple[int, ...],  # durations[i] <-> vocab index blank_id-1-i
+    max_symbols_per_frame: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittable multi-blank greedy transducer decode.
+
+    The multi-blank greedy search the reference reaches through espnet's
+    ``BeamSearchTransducer(multi_blank_durations=..., multi_blank_indices=...)``
+    (/root/reference/src/inference/avsr_inference.py:184-203): at each step
+    take the argmax of the joint output; a label emits and advances the
+    prediction network, the standard blank advances one frame, and a big
+    blank <blank{d}> jumps d frames — that is its entire speedup: fewer
+    joint evaluations per utterance. Formulated as a ``lax.while_loop`` over
+    per-sequence frame pointers (data-dependent time advance is exactly what
+    ``lax.scan`` over frames cannot express).
+
+    Returns (tokens (B, T*max_symbols), counts (B,)).
+    """
+    b, t, _ = enc.shape
+    lmax = t * max_symbols_per_frame
+    max_iters = t * (max_symbols_per_frame + 1)
+    dur_vec = jnp.asarray(
+        [1] + [int(d) for d in durations], jnp.int32
+    )  # dur_vec[0] = standard blank
+
+    def cond(carry):
+        t_ptr, _, _, _, _, _, iters = carry
+        return jnp.any(t_ptr < enc_lengths) & (iters < max_iters)
+
+    def body(carry):
+        t_ptr, state, last_emit, tokens, count, since_adv, iters = carry
+        active = t_ptr < enc_lengths
+        t_safe = jnp.clip(t_ptr, 0, t - 1)
+        enc_t = jnp.take_along_axis(enc, t_safe[:, None, None], axis=1)[:, 0]
+        new_state, g = pred_apply(state, last_emit)
+        logits = joint_apply(enc_t, g)  # (B, V)
+        sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # blank family: index blank_id -> dt 1; blank_id-1-i -> durations[i]
+        off = blank_id - sym  # 0 = standard blank, 1.. = big blanks
+        is_blank = (off >= 0) & (off <= len(durations))
+        dt = jnp.where(is_blank, dur_vec[jnp.clip(off, 0, len(durations))], 0)
+        forced = since_adv >= max_symbols_per_frame  # cap: emit no more,
+        dt = jnp.where(forced & ~is_blank, 1, dt)  # advance one frame
+        emit = active & ~is_blank & ~forced & (count < lmax)
+        tokens = jnp.where(
+            emit[:, None] & (jnp.arange(lmax)[None, :] == count[:, None]),
+            sym[:, None],
+            tokens,
+        )
+        count = count + emit.astype(jnp.int32)
+        last_emit = jnp.where(emit, sym, last_emit)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                emit.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            new_state,
+            state,
+        )
+        t_ptr = t_ptr + jnp.where(active, dt, 0)
+        since_adv = jnp.where(dt > 0, 0, since_adv + emit.astype(jnp.int32))
+        return (t_ptr, state, last_emit, tokens, count, since_adv, iters + 1)
+
+    carry0 = (
+        jnp.zeros((b,), jnp.int32),
+        init_state,
+        jnp.full((b,), -1, jnp.int32),
+        jnp.zeros((b, lmax), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out[3], out[4]
 
 
 def transducer_greedy_decode(

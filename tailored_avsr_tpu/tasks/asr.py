@@ -30,9 +30,23 @@ from tailored_avsr_tpu.tasks.common import (
 class ASRTask:
     @classmethod
     def build_model(cls, config, token_list: List[str]):
-        vocab_size = len(token_list)
         model_conf = dict(getattr(config, "model_conf", {}) or {})
         model_name = getattr(config, "model", "espnet") or "espnet"
+
+        # multi-blank transducer: big-blank symbols <blank{d}> are inserted
+        # just before the standard blank (in place, so the caller's converter
+        # sees the extended vocabulary — the reference overwrites
+        # args.token_list the same way, ref src/tasks/asr.py:495-502)
+        mb_durations = tuple(
+            int(d) for d in model_conf.get("transducer_multi_blank_durations") or ()
+        )
+        if mb_durations:
+            sym_blank = model_conf.get("sym_blank", "<blank>")
+            blank_idx = token_list.index(sym_blank)
+            for dur in mb_durations:
+                if f"<blank{dur}>" not in token_list:
+                    token_list.insert(blank_idx, f"<blank{dur}>")
+        vocab_size = len(token_list)
 
         frontend = build_frontend(
             getattr(config, "frontend", "default"),
@@ -130,6 +144,10 @@ class ASRTask:
         model_cls = {"espnet": ASRModel, "maskctc": MaskCTCModel}[model_name]
         return model_cls(
             vocab_size=vocab_size,
+            transducer_multi_blank_durations=mb_durations,
+            transducer_multi_blank_sigma=float(
+                model_conf.get("transducer_multi_blank_sigma", 0.05)
+            ),
             encoder=encoder,
             ctc=ctc,
             decoder=decoder,

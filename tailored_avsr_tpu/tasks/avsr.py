@@ -34,9 +34,19 @@ from tailored_avsr_tpu.tasks.common import (
 class AVSRTask:
     @classmethod
     def build_model(cls, config, token_list: List[str]):
-        vocab_size = len(token_list)
         model_conf = dict(getattr(config, "model_conf", {}) or {})
         model_name = getattr(config, "model", "espnet") or "espnet"
+
+        # multi-blank transducer vocab extension (in place; see ASRTask)
+        mb_durations = tuple(
+            int(d) for d in model_conf.get("transducer_multi_blank_durations") or ()
+        )
+        if mb_durations:
+            blank_idx = token_list.index(model_conf.get("sym_blank", "<blank>"))
+            for dur in mb_durations:
+                if f"<blank{dur}>" not in token_list:
+                    token_list.insert(blank_idx, f"<blank{dur}>")
+        vocab_size = len(token_list)
 
         acoustic_frontend = build_frontend(
             getattr(config, "acoustic_frontend", "default"),
@@ -190,6 +200,10 @@ class AVSRTask:
             decoder=decoder,
             joint_network=joint_network,
             prediction_network=prediction_network,
+            transducer_multi_blank_durations=mb_durations,
+            transducer_multi_blank_sigma=float(
+                model_conf.get("transducer_multi_blank_sigma", 0.05)
+            ),
             acoustic_frontend=acoustic_frontend,
             visual_frontend=visual_frontend,
             specaug=specaug,
