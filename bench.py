@@ -333,7 +333,8 @@ def bench_beam(args_cli, on_tpu, peak_tf, samples, metric: str):
          **perf_fields(flops_b, dt_b, peak_tf, beam_batch), **extra)
 
 
-def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False):
+def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False,
+                train_batch: int | None = None):
     """Times the PRODUCT train step (train/loop.make_train_step): donated
     state buffers + bf16 mixed precision on TPU — the same jitted step
     avsr_main.py runs, not a bench-local re-derivation of it."""
@@ -349,6 +350,10 @@ def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False):
 
     rng = np.random.RandomState(7)
     tb, tframes = (2, 16) if tiny else (16, 100)
+    if train_batch is None and not tiny:
+        train_batch = load_tuning().get("train_batch")
+    if train_batch and not tiny:
+        tb = int(train_batch)
     tsamples = tframes * 640
     batch = (
         jnp.asarray(rng.randn(tb, tsamples).astype(np.float32) * 0.1),
@@ -401,8 +406,80 @@ def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False):
         times.append(time.perf_counter() - t0)
     dt_t = min(times)
     rtf_t = tb * tsamples / 16000.0 / dt_t
+    extra = {"batch": tb,
+             # one epoch of the reference's 818 h corpus (BASELINE.md) on
+             # one chip at this throughput
+             "epoch_hours_818h": round(818.0 / rtf_t, 2)}
+    if flops_t:
+        # A100-roofline stand-in: the same graph's measured FLOPs at an
+        # A100's 312 TF/s dense bf16 and a generous 35% MFU (typical good
+        # PyTorch training). Carries the same asterisk as the inference
+        # stand-in (docs/DESIGN.md) until a real A100 run exists.
+        flops_per_audio_s = flops_t / (tb * tsamples / 16000.0)
+        a100_rtf = 312e12 * 0.35 / flops_per_audio_s
+        extra["vs_baseline"] = round(rtf_t / a100_rtf, 3)
+        extra["baseline_note"] = "a100_roofline_standin_312tf_35mfu"
     emit(metric, value=round(rtf_t, 2),
-         **perf_fields(flops_t, dt_t, peak_tf, tb))
+         **perf_fields(flops_t, dt_t, peak_tf, tb), **extra)
+
+
+def run_stages_isolated(args_cli, stages):
+    """Run each stage in its own subprocess (fresh TPU context per stage).
+
+    The r4 dress rehearsal showed why: the greedy stage's batch-128 arrays,
+    bf16 params, and compiled executable stay resident in HBM, and the beam
+    stage then OOMs at an operating point that succeeds standalone
+    (measurements/r4/fusedday/bench.log vs fsweep.log). One process per
+    stage makes the three captures independent — a stage can only be killed
+    by its own footprint or timeout, never a predecessor's leftovers.
+    """
+    deadline = time.monotonic() + args_cli.deadline
+    me = os.path.abspath(__file__)
+    stage_names = {STAGES[0]: "greedy", STAGES[1]: "beam", STAGES[2]: "train"}
+    forwarded = []
+    if args_cli.tiny:
+        forwarded.append("--tiny")
+    if args_cli.beam_batch is not None:
+        forwarded += ["--beam-batch", str(args_cli.beam_batch)]
+    if args_cli.beam_phases:
+        forwarded += ["--beam-phases", args_cli.beam_phases]
+    if args_cli.train_batch is not None:
+        forwarded += ["--train-batch", str(args_cli.train_batch)]
+    forwarded += ["--backend-timeout", str(args_cli.backend_timeout)]
+    for metric in stages:
+        budget = deadline - time.monotonic()
+        if budget < 60:
+            emit_error(metric, f"deadline_exceeded_{args_cli.deadline:.0f}s")
+            continue
+        cmd = [sys.executable, me, "--stage", stage_names[metric],
+               "--deadline", str(max(60.0, budget - 30.0))] + forwarded
+        try:
+            r = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            emit_error(metric, f"stage_timeout_{budget:.0f}s")
+            continue
+        got_line = False
+        for line in r.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("metric") == metric:
+                    with _emit_lock:
+                        _emitted.add(metric)
+                    print(line, flush=True)
+                    got_line = True
+        if not got_line:
+            tail = (r.stdout + r.stderr).strip().splitlines()
+            emit_error(
+                metric,
+                f"stage_exit_{r.returncode}: "
+                + (tail[-1][:200] if tail else "no output"),
+            )
 
 
 def main():
@@ -416,9 +493,19 @@ def main():
         help="bench only the greedy CTC decode (quick check)",
     )
     parser.add_argument(
+        "--stage", choices=["greedy", "beam", "train"], default=None,
+        help="run ONE stage in-process (used by the per-stage subprocess "
+             "isolation; plain `python bench.py` orchestrates all three)",
+    )
+    parser.add_argument(
         "--beam-batch", type=int, default=None,
         help="batch size for the beam-decode bench (default: "
              "bench_tuning.json's beam_batch if present, else 32)",
+    )
+    parser.add_argument(
+        "--train-batch", type=int, default=None,
+        help="batch size for the train-step bench (default: "
+             "bench_tuning.json's train_batch if present, else 16)",
     )
     parser.add_argument(
         "--beam-phases", default="",
@@ -441,7 +528,15 @@ def main():
              "deadline_exceeded records and the process exits 0",
     )
     args_cli = parser.parse_args()
-    stages = STAGES[:1] if args_cli.greedy_only else STAGES
+    if args_cli.stage is None:
+        stages = STAGES[:1] if args_cli.greedy_only else STAGES
+        run_stages_isolated(args_cli, stages)
+        return
+    stages = [
+        {"greedy": STAGES[0], "beam": STAGES[1], "train": STAGES[2]}[
+            args_cli.stage
+        ]
+    ]
 
     def reaper():
         time.sleep(args_cli.deadline)
@@ -464,49 +559,48 @@ def main():
     # 4-second utterances at 25 fps; throughput saturates at batch 128
     # (honest-fetch RTF: 1136x @32, 1529x @64, 2958x @128, 3016x @256)
     batch, frames = (2, 16) if args_cli.tiny else (128, 100)
-    rng = np.random.RandomState(0)
     samples = frames * 640
-    audio = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
-    alens = jnp.full((batch,), samples, np.int32)
-    video = jnp.asarray(rng.randn(batch, frames, 88, 88).astype(np.float32))
-    vlens = jnp.full((batch,), frames, np.int32)
 
-    try:
-        model = _build_flagship(tiny=args_cli.tiny, use_flash=on_tpu)
-        # init on a 2-row batch (params are batch-independent; avoids
-        # compiling a second full-size graph just for initialization)
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)},
-            audio[:2], alens[:2], video[:2], vlens[:2],
-            jnp.ones((2, 8), jnp.int32), jnp.full((2,), 8, np.int32),
-        )
-        if on_tpu:  # bf16 weights/activations: free TPU win (SURVEY.md §2.4)
-            variables = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                variables,
+    if args_cli.stage == "greedy":
+        rng = np.random.RandomState(0)
+        audio = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
+        alens = jnp.full((batch,), samples, np.int32)
+        video = jnp.asarray(rng.randn(batch, frames, 88, 88).astype(np.float32))
+        vlens = jnp.full((batch,), frames, np.int32)
+        try:
+            model = _build_flagship(tiny=args_cli.tiny, use_flash=on_tpu)
+            # init on a 2-row batch (params are batch-independent; avoids
+            # compiling a second full-size graph just for initialization)
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)},
+                audio[:2], alens[:2], video[:2], vlens[:2],
+                jnp.ones((2, 8), jnp.int32), jnp.full((2,), 8, np.int32),
             )
-            audio = audio.astype(jnp.bfloat16)
-            video = video.astype(jnp.bfloat16)
-        pack = (variables, model, on_tpu, peak_tf, audio, alens, video,
-                vlens, samples)
-        bench_greedy(pack, STAGES[0])
-    except Exception as e:  # noqa: BLE001 — structured per-stage failure
-        emit_error(STAGES[0], f"{type(e).__name__}: {e}")
-
-    if args_cli.greedy_only:
-        return
-
-    try:
-        bench_beam(args_cli, on_tpu, peak_tf, samples, STAGES[1])
-    except Exception as e:  # noqa: BLE001
-        emit_error(STAGES[1], f"{type(e).__name__}: {e}")
-
-    try:
-        bench_train(on_tpu, peak_tf, STAGES[2], tiny=args_cli.tiny)
-    except Exception as e:  # noqa: BLE001
-        emit_error(STAGES[2], f"{type(e).__name__}: {e}")
+            if on_tpu:  # bf16 weights/activations: free TPU win (SURVEY §2.4)
+                variables = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x,
+                    variables,
+                )
+                audio = audio.astype(jnp.bfloat16)
+                video = video.astype(jnp.bfloat16)
+            pack = (variables, model, on_tpu, peak_tf, audio, alens, video,
+                    vlens, samples)
+            bench_greedy(pack, STAGES[0])
+        except Exception as e:  # noqa: BLE001 — structured per-stage failure
+            emit_error(STAGES[0], f"{type(e).__name__}: {e}")
+    elif args_cli.stage == "beam":
+        try:
+            bench_beam(args_cli, on_tpu, peak_tf, samples, STAGES[1])
+        except Exception as e:  # noqa: BLE001
+            emit_error(STAGES[1], f"{type(e).__name__}: {e}")
+    elif args_cli.stage == "train":
+        try:
+            bench_train(on_tpu, peak_tf, STAGES[2], tiny=args_cli.tiny,
+                        train_batch=args_cli.train_batch)
+        except Exception as e:  # noqa: BLE001
+            emit_error(STAGES[2], f"{type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
