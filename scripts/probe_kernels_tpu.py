@@ -76,6 +76,22 @@ for dtype, dtol, (b, h, km, lc, dk), pos in ga_cases:
     gate(f"attend {dtype.__name__} ({b},{h},{km},{lc},{dk}) pos={pos}",
          got_c, got_i, want, dtol)
 
+# phased-width narrowing (beam_search phase_widths): the K/V BlockSpecs
+# shrink to width columns while anc stays full-width (Mosaic lane-dim
+# divisibility; measurements/r4/fusedday/fphases96.log was the crash)
+for dtype, dtol, (b, h, km, lc, dk), pos, w in [
+    (jnp.bfloat16, 6e-2, (2, 4, 10, 104, 64), 25, 56),  # w % 128 != 0
+    (jnp.float32, 1e-2, (2, 3, 4, 16, 64), 9, 8),
+]:
+    k, v, q, k_new, v_new, anc = make_case(rng, b, h, km, lc, dk, pos,
+                                           dtype=dtype)
+    got_c = group_attend_anc(k, v, q, k_new, v_new, anc, pos, width=w)
+    got_i = group_attend_anc(k, v, q, k_new, v_new, anc, pos, width=w,
+                             interpret=True)
+    want = ref_group_attend(k, v, q, k_new, v_new, anc, pos)
+    gate(f"attend-width{w} {dtype.__name__} ({b},{h},{km},{lc},{dk}) "
+         f"pos={pos}", got_c, got_i, want, dtol)
+
 # ---------------- paired KV cache-column write (bit-exact DMA) ----------
 from tailored_avsr_tpu.ops.cache_update import write_cache_columns_kv
 

@@ -49,15 +49,17 @@ def _group_attend_kernel(
     q_ref,  # (1, H, K, dk)
     knew_ref,  # (1, H, K, dk)
     vnew_ref,  # (1, H, K, dk)
-    anc_ref,  # (1, K, Lc) int32
+    anc_ref,  # (1, K, Lc_full) int32 — always full width: Mosaic requires a
+    #     narrowed lane dim to be 128-divisible, and at ~4 KB the anc block is
+    #     not worth narrowing (the DMA savings are all in K/V)
     k_ref,  # (1, H, K, Lc, dk)
     v_ref,  # (1, H, K, Lc, dk)
     out_ref,  # (1, H, K, dk)
     *,
     scale: float,
 ):
-    _, hb, km, lc, dk = k_ref.shape  # hb = heads per grid step
-    anc = anc_ref[0]  # (K, Lc)
+    _, hb, km, lc, dk = k_ref.shape  # hb = heads per grid step; lc = width
+    anc = anc_ref[0, :, :lc]  # (K, Lc) static slice of the full-width block
     tt = jax.lax.broadcasted_iota(jnp.int32, (km, lc), 1)
     live = tt < pos_ref[0] - 1
     # valid[i, j*Lc + t] = (anc[i, t] == j) & live[i, t]; j unrolled statically.
@@ -116,6 +118,7 @@ def group_attend_anc(
     the full-width attend because columns >= pos - 1 are masked dead anyway.
     """
     b, h, km, lc, dk = k.shape
+    lc_full = lc
     if width is not None:
         if width % 8 != 0 or not (0 < width <= lc):
             raise ValueError(f"width must be a multiple of 8 in (0, {lc}], got {width}")
@@ -144,7 +147,7 @@ def group_attend_anc(
                 pl.BlockSpec((1, hb, km, dk), row),
                 pl.BlockSpec((1, hb, km, dk), row),
                 pl.BlockSpec((1, hb, km, dk), row),
-                pl.BlockSpec((1, km, lc), row3),
+                pl.BlockSpec((1, km, lc_full), row3),
                 pl.BlockSpec((1, hb, km, lc, dk), row5),
                 pl.BlockSpec((1, hb, km, lc, dk), row5),
             ],
