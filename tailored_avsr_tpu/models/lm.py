@@ -2,8 +2,13 @@
 
 Capability parity with espnet's ``LMTask`` Transformer LM as used by the
 reference (/root/reference/lm_main.py, configs/LM/lm-spanish.yaml: 16 layers,
-512 att units, 8 heads, 2048 linear units): token embed + abs pos-enc ->
-N x (causal self-attn + FFN, pre-norm) -> LayerNorm -> vocab projection.
+512 att units, 8 heads, 2048 linear units, ``embed_unit: 128``,
+``pos_enc: null``): token embed (``embed_unit``-d) -> input stack
+Linear(att_unit) + LayerNorm + Dropout + ReLU (espnet Encoder
+``input_layer="linear"``) -> optional sinusoidal pos-enc (the reference config
+disables it) -> N x (causal self-attn + FFN, pre-norm) -> LayerNorm -> vocab
+projection. With ``embed_unit=None`` the input stack is skipped and tokens
+embed directly at ``att_unit`` (compact variant used by unit tests).
 """
 
 from __future__ import annotations
@@ -57,10 +62,29 @@ class TransformerLM(nn.Module):
     layer: int = 16
     dropout_rate: float = 0.1
     positional_dropout_rate: float = 0.1
+    # espnet TransformerLM embed_unit (reference configs/LM/*.yaml: 128):
+    # the token embedding is embed_unit-d, projected to att_unit by the
+    # encoder input stack. None = embed directly at att_unit (no stack).
+    embed_unit: int | None = None
+    # espnet TransformerLM pos_enc: None (reference default) = no positional
+    # encoding at all; "sinusoidal" = absolute sinusoidal pos-enc.
+    pos_enc: str | None = "sinusoidal"
 
     def setup(self):
-        self.embed_tok = nn.Embed(self.vocab_size, self.att_unit, name="embed_tok")
-        self.pos_enc = AbsolutePositionalEncoding(self.positional_dropout_rate)
+        if self.pos_enc not in (None, "sinusoidal"):
+            raise NotImplementedError(
+                f"lm_conf pos_enc={self.pos_enc!r}: espnet TransformerLM "
+                "supports only null (none) or 'sinusoidal'"
+            )
+        self.embed_tok = nn.Embed(
+            self.vocab_size, self.embed_unit or self.att_unit, name="embed_tok"
+        )
+        if self.embed_unit:
+            # espnet Encoder input_layer="linear": Linear + LN + Dropout + ReLU
+            self.in_linear = nn.Dense(self.att_unit, name="in_linear")
+            self.in_norm = nn.LayerNorm(name="in_norm")
+            self.in_dropout = nn.Dropout(self.dropout_rate)
+        self.posenc = AbsolutePositionalEncoding(self.positional_dropout_rate)
         self.layers = [
             TransformerLMLayer(
                 self.att_unit, self.head, self.unit, self.dropout_rate,
@@ -70,6 +94,15 @@ class TransformerLM(nn.Module):
         ]
         self.after_norm = nn.LayerNorm(name="after_norm")
         self.output_layer = nn.Dense(self.vocab_size, name="output_layer")
+
+    def _embed_in(self, tokens: jnp.ndarray, deterministic: bool = True):
+        """Token ids -> att_unit features (embed + input stack, NO pos-enc)."""
+        x = self.embed_tok(tokens)
+        if self.embed_unit:
+            x = nn.relu(self.in_dropout(
+                self.in_norm(self.in_linear(x)), deterministic=deterministic
+            ))
+        return x
 
     def __call__(
         self,
@@ -81,7 +114,9 @@ class TransformerLM(nn.Module):
         """(B, T) token ids -> (B, T, V) next-token logits."""
         b, t = tokens.shape
         mask = causal_mask(b, t, lengths)
-        x = self.pos_enc(self.embed_tok(tokens), deterministic=deterministic)
+        x = self._embed_in(tokens, deterministic)
+        if self.pos_enc is not None:
+            x = self.posenc(x, deterministic=deterministic)
         for layer in self.layers:
             x = layer(x, mask, deterministic=deterministic)
         return self.output_layer(self.after_norm(x))
@@ -91,7 +126,9 @@ class TransformerLM(nn.Module):
         (fixed-size buffer, for jitted shallow fusion)."""
         b, t = ys.shape
         mask = causal_mask(b, t) & (jnp.arange(t)[None, None, :] < pos)
-        x = self.pos_enc(self.embed_tok(ys), deterministic=True)
+        x = self._embed_in(ys)
+        if self.pos_enc is not None:
+            x = self.posenc(x, deterministic=True)
         for layer in self.layers:
             x = layer(x, mask, deterministic=True)
         logits = self.output_layer(self.after_norm(x))
@@ -149,8 +186,9 @@ class TransformerLM(nn.Module):
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)
-        x = self.embed_tok(tok)
-        x = self.pos_enc.at_position(x, pos - 1, lc)
+        x = self._embed_in(tok)
+        if self.pos_enc is not None:
+            x = self.posenc.at_position(x, pos - 1, lc)
         self_mask = (jnp.arange(lc)[None, :] < pos).repeat(n, 0)  # (N, Lc)
         new_cache = []
         for layer, (ck, cv) in zip(self.layers, cache):
@@ -188,8 +226,9 @@ class TransformerLM(nn.Module):
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)
-        x = self.embed_tok(tok)
-        x = self.pos_enc.at_position(x, pos - 1, lc)
+        x = self._embed_in(tok)
+        if self.pos_enc is not None:
+            x = self.posenc.at_position(x, pos - 1, lc)
         cache_mask = (jnp.arange(lc)[None, :] < pos - 1).repeat(n, 0)  # (N, Lc)
         new_kv = []
         for layer, (ck, cv) in zip(self.layers, cache):
@@ -224,8 +263,9 @@ class TransformerLM(nn.Module):
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)
-        x = self.embed_tok(tok)
-        x = self.pos_enc.at_position(x, pos - 1, lc)
+        x = self._embed_in(tok)
+        if self.pos_enc is not None:
+            x = self.posenc.at_position(x, pos - 1, lc)
         new_kv = []
         for layer, (ck, cv) in zip(self.layers, cache):
             h = layer.norm1(x)

@@ -181,7 +181,12 @@ def multiblank_rnnt_loss(
 
 
 class JointNetwork(nn.Module):
-    """joint(h_enc, h_pred) = Dense_out(tanh(Dense(h_enc) + Dense(h_pred)))."""
+    """joint(h_enc, h_pred) = Dense_out(tanh(Dense(h_enc) + Dense(h_pred))).
+
+    Matches espnet2 ``asr_transducer.joint_network.JointNetwork`` (imported at
+    /root/reference/src/tasks/asr.py:73): ``lin_enc`` carries the bias,
+    ``lin_dec`` has none (a second bias would be redundant in the sum).
+    """
 
     vocab_size: int
     joint_dim: int = 320
@@ -191,7 +196,7 @@ class JointNetwork(nn.Module):
     def __call__(self, enc: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
         """enc (..., T, 1, D) x pred (..., 1, U+1, D') broadcast -> (..., T, U+1, V)."""
         h = nn.Dense(self.joint_dim, name="lin_enc")(enc) + nn.Dense(
-            self.joint_dim, name="lin_dec"
+            self.joint_dim, use_bias=False, name="lin_dec"
         )(pred)
         act = {"tanh": jnp.tanh, "relu": nn.relu}[self.activation]
         return nn.Dense(self.vocab_size, name="lin_out")(act(h))

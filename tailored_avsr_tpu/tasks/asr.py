@@ -15,6 +15,7 @@ from tailored_avsr_tpu.models.asr_model import ASRModel
 from tailored_avsr_tpu.models.ctc import CTCHead
 from tailored_avsr_tpu.models.maskctc import MaskCTCModel
 from tailored_avsr_tpu.tasks.common import (
+    build_transducer_modules,
     check_dropped_key,
     build_decoder,
     build_encoder,
@@ -74,20 +75,8 @@ class ASRTask:
         joint_network = prediction_network = None
         decoder = None
         if decoder_name_is_transducer(getattr(config, "decoder", "")):
-            from tailored_avsr_tpu.ops.rnnt import JointNetwork, PredictionNetwork
-
-            jconf = dict(getattr(config, "joint_net_conf", {}) or {})
-            dconf = dict(getattr(config, "decoder_conf", {}) or {})
-            joint_network = JointNetwork(
-                vocab_size=vocab_size,
-                joint_dim=int(jconf.get("joint_space_size", 320)),
-            )
-            prediction_network = PredictionNetwork(
-                vocab_size=vocab_size,
-                embed_dim=int(dconf.get("embed_size", encoder_size)),
-                hidden_dim=int(dconf.get("hidden_size", encoder_size)),
-                num_layers=int(dconf.get("num_layers", 1)),
-                dropout_rate=float(dconf.get("dropout_rate", 0.1)),
+            joint_network, prediction_network = build_transducer_modules(
+                config, vocab_size, encoder_size
             )
         elif ctc_weight < 1.0:
             if is_maskctc:

@@ -19,6 +19,7 @@ from tailored_avsr_tpu.models.fusion import AdaptiveAudioVisualFusion
 from tailored_avsr_tpu.models.maskctc import AVSRMaskCTCModel
 from tailored_avsr_tpu.models.tailored import TailoredEncoder
 from tailored_avsr_tpu.tasks.common import (
+    build_transducer_modules,
     check_dropped_key,
     build_decoder,
     build_frontend,
@@ -136,20 +137,8 @@ class AVSRTask:
         joint_network = prediction_network = None
         decoder = None
         if decoder_name_is_transducer(getattr(config, "decoder", "")):
-            from tailored_avsr_tpu.ops.rnnt import JointNetwork, PredictionNetwork
-
-            jconf = dict(getattr(config, "joint_net_conf", {}) or {})
-            dconf = dict(getattr(config, "decoder_conf", {}) or {})
-            joint_network = JointNetwork(
-                vocab_size=vocab_size,
-                joint_dim=int(jconf.get("joint_space_size", 320)),
-            )
-            prediction_network = PredictionNetwork(
-                vocab_size=vocab_size,
-                embed_dim=int(dconf.get("embed_size", output_size)),
-                hidden_dim=int(dconf.get("hidden_size", output_size)),
-                num_layers=int(dconf.get("num_layers", 1)),
-                dropout_rate=float(dconf.get("dropout_rate", 0.1)),
+            joint_network, prediction_network = build_transducer_modules(
+                config, vocab_size, output_size
             )
         elif ctc_weight < 1.0:
             decoder_name = getattr(config, "decoder", "transformer") or "transformer"

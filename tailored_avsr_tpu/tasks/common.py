@@ -226,6 +226,43 @@ def decoder_name_is_transducer(name) -> bool:
     return bool(name) and "transducer" in str(name)
 
 
+def build_transducer_modules(config, vocab_size: int, encoder_size: int):
+    """(joint_network, prediction_network) from espnet-style conf keys.
+
+    decoder_conf follows espnet2 ``TransducerDecoder`` (imported at
+    /root/reference/src/tasks/asr.py:20): ``rnn_type`` (lstm only — gated),
+    ``num_layers``, ``hidden_size`` (embedding shares it), ``dropout``;
+    joint_net_conf follows espnet2 ``JointNetwork`` (:73):
+    ``joint_space_size``, ``joint_activation_type``."""
+    from tailored_avsr_tpu.ops.rnnt import JointNetwork, PredictionNetwork
+
+    jconf = dict(getattr(config, "joint_net_conf", {}) or {})
+    dconf = dict(getattr(config, "decoder_conf", {}) or {})
+    rnn_type = dconf.get("rnn_type", "lstm")
+    if rnn_type != "lstm":
+        raise NotImplementedError(
+            f"decoder_conf rnn_type={rnn_type!r}: only 'lstm' prediction "
+            "networks are implemented (espnet TransducerDecoder also offers "
+            "'gru')"
+        )
+    joint_network = JointNetwork(
+        vocab_size=vocab_size,
+        joint_dim=int(jconf.get("joint_space_size", 320)),
+        activation=str(jconf.get("joint_activation_type", "tanh")),
+    )
+    hidden = int(dconf.get("hidden_size", encoder_size))
+    prediction_network = PredictionNetwork(
+        vocab_size=vocab_size,
+        # espnet embeds at hidden_size; embed_size kept as our explicit knob
+        embed_dim=int(dconf.get("embed_size", hidden)),
+        hidden_dim=hidden,
+        num_layers=int(dconf.get("num_layers", 1)),
+        dropout_rate=float(
+            dconf.get("dropout", dconf.get("dropout_rate", 0.1))),
+    )
+    return joint_network, prediction_network
+
+
 def build_preencoder(name, conf):
     if name in (None, "none", ""):
         return None

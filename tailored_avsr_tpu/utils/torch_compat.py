@@ -33,17 +33,46 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 
+def _is_lm_root(tree_root: Dict) -> bool:
+    """espnet TransformerLM state_dicts live under an ``lm.`` prefix with
+    embed/encoder/decoder attribute names (espnet2 ESPnetLanguageModel);
+    detect an LM param tree by its root modules."""
+    return "embed_tok" in tree_root and "output_layer" in tree_root
+
+
 def _rename_segments(path: List[str], tree_root: Dict) -> List[str]:
     """Translate flax path segments to torch dotted-path segments."""
     # espnet decoders stack layers under 'decoders', encoders under 'encoders'
     in_decoder = bool(path) and path[0] == "decoder"
-    out: List[str] = []
+    # espnet TransducerDecoder is the model's `decoder` attribute: embed +
+    # ModuleList `decoder` of single-layer LSTMs (keys decoder.decoder.{i}.*)
+    in_prednet = bool(path) and path[0] == "prediction_network"
+    is_lm = _is_lm_root(tree_root)
+    out: List[str] = ["lm"] if is_lm else []
     i = 0
     while i < len(path):
         seg = path[i]
         m = re.fullmatch(r"layer_(\d+)", seg)
-        if m:
+        if m and is_lm:
+            out.extend(["encoder", "encoders", m.group(1)])
+        elif m:
             out.extend(["decoders" if in_decoder else "encoders", m.group(1)])
+        elif is_lm and seg == "embed_tok":
+            out.append("embed")
+        elif is_lm and seg == "in_linear":
+            out.extend(["encoder", "embed", "0"])
+        elif is_lm and seg == "in_norm":
+            out.extend(["encoder", "embed", "1"])
+        elif is_lm and seg == "after_norm":
+            out.extend(["encoder", "after_norm"])
+        elif is_lm and seg == "output_layer":
+            out.append("decoder")
+        elif seg == "prediction_network":
+            out.append("decoder")
+        elif in_prednet and seg == "embed_tok":
+            out.append("embed")
+        elif in_prednet and re.fullmatch(r"lstm_(\d+)", seg):
+            out.extend(["decoder", seg.split("_")[-1]])
         elif re.fullmatch(r"acoustic_layer_(\d+)", seg):
             out.extend(["acoustic_encoder", "encoders", seg.split("_")[-1]])
         elif re.fullmatch(r"visual_layer_(\d+)", seg):
@@ -175,6 +204,62 @@ def _from_flax(value: np.ndarray, leaf: str) -> np.ndarray:
     return v
 
 
+_LSTM_KEY = re.compile(r"^(.*)\.(weight|bias)_(ih|hh)_l0$")
+_LSTM_GATES = ("i", "f", "g", "o")  # torch row order == flax gate names
+
+
+def _expand_lstm_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """torch packed LSTM params -> per-gate pseudo-keys matching flax
+    ``OptimizedLSTMCell`` leaves (both pack gates in i,f,g,o order). flax has
+    no input-side bias, so torch's ``bias_ih + bias_hh`` (always summed in
+    the LSTM equations) lands on the h-side gate biases — identical compute.
+    """
+    out = dict(sd)
+    bases = {m.group(1) for k in sd if (m := _LSTM_KEY.match(k))}
+    for base in bases:
+        if (f"{base}.weight_ih_l0" not in sd
+                or f"{base}.weight_hh_l0" not in sd):
+            continue
+        w_ih = np.asarray(out.pop(f"{base}.weight_ih_l0"))  # (4H, in)
+        w_hh = np.asarray(out.pop(f"{base}.weight_hh_l0"))  # (4H, H)
+        hsz = w_hh.shape[1]
+        bias = np.zeros(4 * hsz, w_ih.dtype)
+        for side in ("ih", "hh"):
+            bk = f"{base}.bias_{side}_l0"
+            if bk in out:
+                bias = bias + np.asarray(out.pop(bk))
+        for gi, g in enumerate(_LSTM_GATES):
+            sl = slice(gi * hsz, (gi + 1) * hsz)
+            out[f"{base}.i{g}.weight"] = w_ih[sl]
+            out[f"{base}.h{g}.weight"] = w_hh[sl]
+            out[f"{base}.h{g}.bias"] = bias[sl]
+    return out
+
+
+def _collapse_lstm_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Inverse of ``_expand_lstm_keys`` for export: per-gate pseudo-keys ->
+    packed torch LSTM params (bias_ih exported as zeros; torch only ever
+    uses the sum)."""
+    out = dict(sd)
+    bases = {
+        k[: -len(".ii.weight")] for k in sd if k.endswith(".ii.weight")
+    }
+    for base in bases:
+        if any(f"{base}.h{g}.weight" not in sd for g in _LSTM_GATES):
+            continue
+        w_ih = np.concatenate(
+            [np.asarray(out.pop(f"{base}.i{g}.weight")) for g in _LSTM_GATES])
+        w_hh = np.concatenate(
+            [np.asarray(out.pop(f"{base}.h{g}.weight")) for g in _LSTM_GATES])
+        b_hh = np.concatenate(
+            [np.asarray(out.pop(f"{base}.h{g}.bias")) for g in _LSTM_GATES])
+        out[f"{base}.weight_ih_l0"] = w_ih
+        out[f"{base}.weight_hh_l0"] = w_hh
+        out[f"{base}.bias_hh_l0"] = b_hh
+        out[f"{base}.bias_ih_l0"] = np.zeros_like(b_hh)
+    return out
+
+
 def _walk(tree: Dict, path: List[str]):
     for k, v in tree.items():
         if isinstance(v, dict):
@@ -197,6 +282,7 @@ def load_torch_state_dict(
     # 'ignored' instead of 'unused' so strict loads of real checkpoints pass
     ignored = [k for k in state_dict if k.endswith(".num_batches_tracked")]
     state_dict = {k: v for k, v in state_dict.items() if k not in set(ignored)}
+    state_dict = _expand_lstm_keys(state_dict)
     params_root = variables.get("params", {})
     used = set()
     missing = []
@@ -230,7 +316,7 @@ def export_torch_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
         for path, leaf_val in _walk(variables.get(collection, {}), []):
             tkey = torch_key_for(path, collection, params_root)
             out[tkey] = _from_flax(np.asarray(leaf_val), path[-1])
-    return out
+    return _collapse_lstm_keys(out)
 
 
 def _copy_tree(tree):

@@ -189,3 +189,40 @@ def avsr_tailored_keys(acoustic_use_attn, visual_use_attn, dec_blocks=6):
     keys |= transformer_decoder_keys("decoder", dec_blocks)
     keys |= _wb("ctc.ctc_lo")
     return keys
+
+
+def lm_keys(layers=16):
+    """configs/LM/lm-spanish.yaml family: espnet2 ESPnetLanguageModel wrapping
+    TransformerLM (espnet2/lm/transformer_lm.py) — everything under ``lm.``:
+    embed (embed_unit-d) -> encoder (input_layer='linear': embed.0 Linear +
+    embed.1 LayerNorm; pos_enc null => no pos-enc params) -> decoder Linear."""
+    keys = {"lm.embed.weight"}
+    keys |= _wb("lm.encoder.embed.0") | _norm("lm.encoder.embed.1")
+    for i in range(layers):
+        p = f"lm.encoder.encoders.{i}"
+        for m in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            keys |= _wb(f"{p}.self_attn.{m}")
+        keys |= ffn_keys(p + ".feed_forward")
+        keys |= _norm(p + ".norm1") | _norm(p + ".norm2")
+    keys |= _norm("lm.encoder.after_norm")
+    keys |= _wb("lm.decoder")
+    return keys
+
+
+def transducer_keys(num_blocks=12, pred_layers=1):
+    """ASR branchformer + transducer branch: espnet2 TransducerDecoder
+    (decoder.embed + decoder.decoder.{i} packed LSTMs) and JointNetwork
+    (lin_enc with bias, lin_dec without, lin_out) per the classes imported at
+    /root/reference/src/tasks/asr.py:20,73."""
+    keys = conv2d_subsampling_keys("encoder.embed") | _norm("encoder.after_norm")
+    for i in range(num_blocks):
+        keys |= branchformer_layer_keys(f"encoder.encoders.{i}")
+    keys |= {"decoder.embed.weight"}
+    for i in range(pred_layers):
+        p = f"decoder.decoder.{i}"
+        keys |= {f"{p}.weight_ih_l0", f"{p}.weight_hh_l0",
+                 f"{p}.bias_ih_l0", f"{p}.bias_hh_l0"}
+    keys |= _wb("joint_network.lin_enc") | {"joint_network.lin_dec.weight"}
+    keys |= _wb("joint_network.lin_out")
+    keys |= _wb("ctc.ctc_lo")
+    return keys

@@ -30,6 +30,10 @@ def build_from_config(rel_path):
     cfg = load_config(os.path.join(ROOT, rel_path))
     cfg.token_list = os.path.join(ROOT, cfg.token_list)
     _, conv = get_tokenizer_converter(cfg)
+    if cfg.task == "lm":
+        from tailored_avsr_tpu.tasks.lm import LMTask
+
+        return cfg, LMTask.build_model(cfg, conv.token_list)
     cls = AVSRTask if cfg.task == "avsr" else ASRTask
     return cfg, cls.build_model(cfg, conv.token_list)
 
@@ -45,7 +49,9 @@ def init_variables(cfg, model):
     alens = jnp.full((2,), samples, jnp.int32)
     video = jnp.asarray(npr.randn(2, frames, 88, 88), jnp.float32)
     vlens = jnp.full((2,), frames, jnp.int32)
-    if cfg.task == "avsr":
+    if cfg.task == "lm":
+        args = (text, tlens)
+    elif cfg.task == "avsr":
         args = (audio, alens, video, vlens, text, tlens)
     elif cfg.task == "vsr":
         args = (video, vlens, text, tlens)
@@ -107,4 +113,18 @@ def test_avsr_tailored_family_key_map_complete():
     check_family(
         "configs/AVSR/tailored_transformer+ctc_spanish.yaml",
         golden_keys.avsr_tailored_keys(aa, va, dec_blocks=6),
+    )
+
+
+def test_lm_family_key_map_complete():
+    check_family(
+        "configs/LM/lm-spanish.yaml",
+        golden_keys.lm_keys(layers=16),
+    )
+
+
+def test_transducer_family_key_map_complete():
+    check_family(
+        "configs/ASR/branchformer_transducer_spanish.yaml",
+        golden_keys.transducer_keys(num_blocks=12, pred_layers=1),
     )
