@@ -222,3 +222,43 @@ def test_logmel_frontend_matches_torch_stft():
     assert got.shape == want.shape
     assert int(got_lens[0]) == want.shape[1]
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_transformer_lm_matches_torch():
+    """The reference-architecture LM (embed_unit stage, no pos-enc) produces
+    identical logits through the production weight translation: flax init ->
+    export_torch_state_dict -> torch twin load_state_dict(strict) -> compare
+    full forward AND the cached beam-step scorer against it."""
+    from tailored_avsr_tpu.models.lm import TransformerLM
+    from tailored_avsr_tpu.utils.torch_compat import export_torch_state_dict
+
+    from tests.torch_twins import TorchTransformerLM
+
+    V, EU, D, H, U, L = 13, 8, 16, 2, 24, 2
+    lm = TransformerLM(vocab_size=V, att_unit=D, head=H, unit=U, layer=L,
+                       dropout_rate=0.0, embed_unit=EU, pos_enc=None)
+    toks = jnp.array([[1, 2, 3, 4, 0], [5, 6, 7, 0, 0]])
+    lens = jnp.array([5, 3])
+    variables = lm.init(jax.random.PRNGKey(5), toks, lens)
+    got = np.asarray(lm.apply(variables, toks, lens))
+
+    twin = TorchTransformerLM(V, EU, D, H, U, L)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(variables).items()}
+    twin.load_state_dict(sd, strict=True)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(np.asarray(toks)),
+                    torch.from_numpy(np.asarray(lens))).numpy()
+    valid = (np.arange(toks.shape[1])[None] < np.asarray(lens)[:, None])
+    np.testing.assert_allclose(
+        got * valid[..., None], want * valid[..., None], atol=2e-4, rtol=1e-4
+    )
+
+    # cached beam-step scorer consistency through the same weights: step
+    # log-probs at position pos must match the full forward's row pos-1
+    ys = jnp.array([[V - 1, 1, 2, 0], [V - 1, 5, 6, 0]])
+    logp_step = np.asarray(
+        lm.apply(variables, ys, jnp.array(3), method="score_step"))
+    full = np.asarray(lm.apply(variables, ys, jnp.array([4, 4])))
+    want_step = jax.nn.log_softmax(full[:, 2].astype(np.float32), axis=-1)
+    np.testing.assert_allclose(logp_step, np.asarray(want_step), atol=2e-5)

@@ -535,3 +535,67 @@ class TorchAVSRFlagship(torch.nn.Module):
             audio, audio_lengths, video, video_lengths
         )
         return self.decoder(ys_in, ys_lens, enc, av_mask)
+
+
+class TorchLMLayer(torch.nn.Module):
+    """espnet transformer EncoderLayer as the LM uses it (pre-norm, vanilla
+    self-attn, relu FFN)."""
+
+    def __init__(self, d, h, units):
+        super().__init__()
+        self.self_attn = TorchMHA(d, h)
+        self.feed_forward = TorchFFN(d, units, activation="relu")
+        self.norm1 = torch.nn.LayerNorm(d)
+        self.norm2 = torch.nn.LayerNorm(d)
+
+    def forward(self, x, mask):
+        h = self.norm1(x)
+        x = x + self.self_attn(h, h, h, mask)
+        h = self.norm2(x)
+        return x + self.feed_forward(h)
+
+
+class TorchTransformerLM(torch.nn.Module):
+    """espnet2 TransformerLM as the reference LM config builds it
+    (configs/LM/lm-spanish.yaml: embed_unit 128, pos_enc null): Embedding ->
+    encoder input stack Linear+LN+ReLU (input_layer='linear', pos_enc_class
+    = empty Sequential) -> pre-norm layers -> after_norm -> decoder Linear.
+    State dict grammar matches the real checkpoints (lm.* keys via the
+    `lm` submodule attribute of ESPnetLanguageModel)."""
+
+    def __init__(self, vocab, embed_unit, d, h, units, layers):
+        super().__init__()
+
+        class _Inner(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.embed = torch.nn.Embedding(vocab, embed_unit)
+
+                class _Enc(torch.nn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.embed = torch.nn.Sequential(
+                            torch.nn.Linear(embed_unit, d),
+                            torch.nn.LayerNorm(d),
+                            torch.nn.Dropout(0.0),
+                            torch.nn.ReLU(),
+                        )
+                        self.encoders = torch.nn.ModuleList(
+                            [TorchLMLayer(d, h, units) for _ in range(layers)]
+                        )
+                        self.after_norm = torch.nn.LayerNorm(d)
+
+                self.encoder = _Enc()
+                self.decoder = torch.nn.Linear(d, vocab)
+
+        self.lm = _Inner()
+
+    def forward(self, tokens, lengths):
+        b, t = tokens.shape
+        x = self.lm.encoder.embed(self.lm.embed(tokens))
+        causal = torch.tril(torch.ones(t, t, dtype=torch.bool))
+        valid = torch.arange(t)[None, :] < lengths[:, None]
+        mask = causal[None] & valid[:, None, :]
+        for layer in self.lm.encoder.encoders:
+            x = layer(x, mask)
+        return self.lm.decoder(self.lm.encoder.after_norm(x))
