@@ -48,7 +48,12 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--out", default="/tmp/lm_step_profile")
     ap.add_argument("--top", type=int, default=20)
-    ap.add_argument("--variant", default="full", choices=["full", "append"])
+    ap.add_argument("--variant", default="full",
+                    choices=["full", "append", "anc"])
+    ap.add_argument("--fused", type=int, default=1,
+                    help="anc variant: 1 = Pallas group attend, 0 = XLA")
+    ap.add_argument("--width", type=int, default=0,
+                    help="anc variant: static attend width (0 = full Lc)")
     ap.add_argument("--unroll", type=int, default=1)
     args = ap.parse_args()
 
@@ -100,6 +105,48 @@ def main():
         ]
         return c, acc + logp[0, 0]
 
+    # production serving path: ancestry protocol + (fused|XLA) group attend
+    # + paired cache-column writes (mirrors inference.py's att_fn/gather)
+    cache_anc = lm.apply(
+        variables, b, k, L,
+        method=lambda m, *a: m.init_cache_group(*a, dtype=dtype),
+    )
+    anc0 = jnp.zeros((n, cache_anc[0][0].shape[3]), jnp.int32)
+
+    from tailored_avsr_tpu.decode.beam_search import (
+        update_ancestry,
+        write_beam_columns_kv,
+    )
+
+    def step_anc(i, carry):
+        c, anc, acc = carry
+        logp, new_kv = lm.apply(
+            variables, ys, i + 1, c, anc, k, args.width or None,
+            method=lambda m, *a: m.score_step_anc(
+                *a, fused=bool(args.fused)
+            ),
+        )
+        c = [
+            (write_beam_columns_kv(ck, cv, kn.astype(dtype),
+                                   vn.astype(dtype), i + 1))
+            for (ck, cv), (kn, vn) in zip(c, new_kv)
+        ]
+        g_src = (jnp.arange(n) // k) * k + src_tab[i].reshape(-1)
+        anc = update_ancestry(anc, g_src, src_tab[i].reshape(-1, k), i + 1)
+        return c, anc, acc + logp[0, 0]
+
+    def loop_anc(cache):
+        u = args.unroll
+
+        def body(j, carry):
+            for s in range(u):
+                carry = step_anc(j * u + s, carry)
+            return carry
+        c, anc, acc = jax.lax.fori_loop(
+            0, args.steps // u, body,
+            (cache, anc0, jnp.zeros((), jnp.float32)))
+        return c
+
     def loop_full(cache):
         step = step_append if args.variant == "append" else step_full
         u = args.unroll
@@ -112,11 +159,27 @@ def main():
                                    (cache, jnp.zeros((), jnp.float32)))
         return c
 
-    f = jax.jit(loop_full)
-    out = f(cache0)
+    if args.variant == "anc":
+        f, arg = jax.jit(loop_anc), cache_anc
+    else:
+        f, arg = jax.jit(loop_full), cache0
+    out = f(arg)
     np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    import time
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = f(arg)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(f"# {args.variant} loop: {dt*1e3:.1f} ms total, "
+          f"{dt*1e3/args.steps:.3f} ms/step "
+          f"(b={b} k={k} L={L} fused={args.fused} width={args.width})",
+          flush=True)
     with jax.profiler.trace(args.out):
-        out = f(cache0)
+        out = f(arg)
         np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     rank_ops(args.out, args.top)
 

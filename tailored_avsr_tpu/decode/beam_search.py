@@ -139,6 +139,26 @@ def write_beam_columns_kv(
     44 leaves; pairing k/v and gridding several batch rows per step
     (ops/cache_update.py write_cache_columns_kv) cuts that overhead ~8x.
     """
+    if isinstance(ck, tuple):
+        # int8 cache side (payload, per-column scale): quantize this step's
+        # bf16 columns (ops/kv_quant.py), write the payload through the same
+        # paired column kernel, and update the tiny scale planes in place
+        from tailored_avsr_tpu.ops.kv_quant import quantize_kv_column
+
+        (ck_p, ck_s), (cv_p, cv_s) = ck, cv
+        kq, ks = quantize_kv_column(k_new)  # (N,H,1,dk) int8, (N,H,1)
+        vq, vs = quantize_kv_column(v_new)
+        kp, vp = write_beam_columns_kv(ck_p, cv_p, kq, vq, pos, mesh=mesh)
+        b, h, km, lc = ck_s.shape
+        ksu = ks[:, :, 0].reshape(b, km, h).transpose(0, 2, 1)  # (B,H,K)
+        vsu = vs[:, :, 0].reshape(b, km, h).transpose(0, 2, 1)
+        ck_s = jax.lax.dynamic_update_slice(
+            ck_s, ksu[..., None].astype(ck_s.dtype), (0, 0, 0, pos - 1)
+        )
+        cv_s = jax.lax.dynamic_update_slice(
+            cv_s, vsu[..., None].astype(cv_s.dtype), (0, 0, 0, pos - 1)
+        )
+        return (kp, ck_s), (vp, cv_s)
     b, h, km, lc, dk = ck.shape
     ku = k_new[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
     vu = v_new[:, :, 0].reshape(b, km, h, dk).transpose(0, 2, 1, 3)
@@ -214,6 +234,9 @@ class BeamSearchConfig:
     # its width, so only f32 reduction-order noise differs
     # (tests/test_kv_cache.py asserts identical n-best hypotheses).
     phase_widths: tuple = ()
+    # sublane tile the phased widths must round to: 8 for f32/bf16 caches,
+    # 32 for the int8 payload tiling (set by the engine from cache_dtype)
+    width_tile: int = 8
 
 
 class BeamSearchResult(NamedTuple):
@@ -463,7 +486,7 @@ def beam_search(
         prev = 0
         for w in config.phase_widths:
             w = int(w * lmax) if 0 < w <= 1 else int(w)
-            w = -(-w // 8) * 8  # kernel tile
+            w = -(-w // config.width_tile) * config.width_tile  # kernel tile
             if prev < w < lmax:
                 phases.append(w)
                 prev = w

@@ -46,7 +46,8 @@ _INFERENCE_KEYS = frozenset({
     "pre_beam", "cache_segments", "fused_group_attend", "cache_protocol",
     "video_scale", "video_mean", "video_std", "device_normalize",
     "quantize_asr_model", "quantize_lm", "quantize_dtype",
-    "quantize_min_size", "ngram_weight", "ngram_file", "ngram_scorer",
+    "quantize_min_size", "cache_dtype", "ngram_weight", "ngram_file",
+    "ngram_scorer",
     "data_parallel",
     "batch_size",  # consumed by the avsr_main inference dataloader
     "hugging_face_decoder_max_length",  # inert without the gated hf decoder
@@ -169,6 +170,10 @@ class Speech2Text:
             # phased attend widths for the ancestry protocol (fractions of
             # the max decode length or absolute columns; see BeamSearchConfig)
             phase_widths=tuple(inf.get("phase_widths", ()) or ()),
+            # int8 cache payloads tile at 32 sublanes along Lc: phased attend
+            # widths must round to that (ops/group_attend.group_attend_anc_q)
+            width_tile=32 if str(inf.get("cache_dtype", "") or "") == "int8"
+            else 8,
         )
         self.maskctc_n_iterations = int(inf.get("maskctc_n_iterations", 10))
         self.maskctc_threshold = float(inf.get("maskctc_threshold_probability", 0.999))
@@ -208,6 +213,20 @@ class Speech2Text:
             raise ValueError(
                 f"cache_protocol must be 'anc' or 'append', got "
                 f"{self.cache_protocol!r}"
+            )
+        # beam KV-cache storage dtype: '' (compute dtype, exact) or 'int8'
+        # (per-column symmetric quantization, ops/kv_quant.py — ~2x less
+        # attend traffic on the bandwidth-bound beam step; NOT bit-exact,
+        # opt-in). Only meaningful with the 'anc' protocol.
+        self.cache_dtype = str(inf.get("cache_dtype", "") or "")
+        if self.cache_dtype not in ("", "bfloat16", "float32", "int8"):
+            raise NotImplementedError(
+                f"cache_dtype={self.cache_dtype!r}: supported values are "
+                "'' (compute dtype), 'bfloat16', 'float32', 'int8'"
+            )
+        if self.cache_dtype == "int8" and self.cache_protocol != "anc":
+            raise NotImplementedError(
+                "cache_dtype: int8 requires cache_protocol: anc"
             )
         # device-side input normalization: inputs may arrive quantized (uint8
         # video straight from the ROI files, int16 audio) to cut host->device
@@ -625,10 +644,14 @@ class Speech2Text:
                         write_beam_columns_kv,
                     )
 
+                    quant_cache = self.cache_dtype == "int8"
+                    cache_dt = {
+                        "bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                    }.get(self.cache_dtype, enc_out.dtype)
                     att_state = {
                         "dec": model.decoder.init_cache_group(
                             enc_out.shape[0], k, enc_out.shape[1],
-                            dtype=enc_out.dtype,
+                            dtype=cache_dt, quantized=quant_cache,
                         ),
                         "dec_new": model.decoder.init_cache(
                             n, 1, dtype=enc_out.dtype
@@ -644,7 +667,7 @@ class Speech2Text:
                         att_state["lm"] = lm.apply(
                             lmv, enc_out.shape[0], k, enc_out.shape[1] + 2,
                             method=lambda m, *a: m.init_cache_group(
-                                *a, dtype=enc_out.dtype
+                                *a, dtype=cache_dt, quantized=quant_cache
                             ),
                         )
                         att_state["lm_new"] = lm.apply(

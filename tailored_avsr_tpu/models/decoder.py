@@ -419,7 +419,7 @@ class TransformerDecoder(_DecoderBase):
         ]
 
     def init_cache_group(self, b: int, beam: int, max_len: int,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, quantized: bool = False):
         """Group-major (B, H, beam, Lc, dk) per-layer (K, V) tensors for the
         ancestry-cache beam protocol (``score_step_anc``): the beam*Lc
         columns of a group sit contiguously per (batch, head), so the group
@@ -430,6 +430,15 @@ class TransformerDecoder(_DecoderBase):
         masks columns >= pos, so the pad columns are never read as live."""
         d = self.encoder_output_size
         h, dk = self.attention_heads, d // self.attention_heads
+        if quantized:
+            # int8 payload + per-column scales (ops/kv_quant.py); Lc rounds
+            # to 32 for the int8 sublane tile (ops/cache_update._blk)
+            lc = -(-max_len // 32) * 32
+            side = lambda: (
+                jnp.zeros((b, h, beam, lc, dk), jnp.int8),
+                jnp.zeros((b, h, beam, lc), jnp.float32),
+            )
+            return [(side(), side()) for _ in range(self.num_blocks)]
         lc = -(-max_len // 8) * 8
         return [
             (
@@ -642,7 +651,9 @@ class TransformerDecoder(_DecoderBase):
         """
         assert self.layer_variant == "transformer"
         n, l = ys.shape
-        lc = cache[0][0].shape[3]
+        ck0 = cache[0][0]
+        # int8 cache sides are (payload, per-column scale) tuples
+        lc = (ck0[0] if isinstance(ck0, tuple) else ck0).shape[3]
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)

@@ -164,12 +164,21 @@ class TransformerLM(nn.Module):
         ]
 
     def init_cache_group(self, b: int, beam: int, max_len: int,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, quantized: bool = False):
         """Group-major (B, H, beam, Lc, dk) per-layer (K, V) tensors for the
         ancestry-cache beam protocol (see TransformerDecoder.init_cache_group;
         Lc rounded to a multiple of 8 for the Pallas block-write kernel)."""
         d, h = self.att_unit, self.head
         dk = d // h
+        if quantized:
+            # int8 payload + per-column scales (ops/kv_quant.py); Lc rounds
+            # to 32 for the int8 sublane tile (ops/cache_update._blk)
+            lc = -(-max_len // 32) * 32
+            side = lambda: (
+                jnp.zeros((b, h, beam, lc, dk), jnp.int8),
+                jnp.zeros((b, h, beam, lc), jnp.float32),
+            )
+            return [(side(), side()) for _ in range(self.layer)]
         lc = -(-max_len // 8) * 8
         return [
             (
@@ -259,7 +268,9 @@ class TransformerLM(nn.Module):
         slot — the only per-step cache write is one column per leaf.
         """
         n, l = ys.shape
-        lc = cache[0][0].shape[3]
+        ck0 = cache[0][0]
+        # int8 cache sides are (payload, per-column scale) tuples
+        lc = (ck0[0] if isinstance(ck0, tuple) else ck0).shape[3]
         tok = jnp.take_along_axis(
             ys, jnp.clip(pos - 1, 0, l - 1)[None, None].repeat(n, 0), axis=1
         )  # (N, 1)

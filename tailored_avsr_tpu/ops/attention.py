@@ -241,7 +241,15 @@ class MultiHeadedAttention(nn.Module):
         decode shape) which XLA lowers at a fraction of peak (measured 30
         ms/step at batch 32 vs the ~2 ms traffic bound).
         """
-        b, h, km, lc, dk = k.shape
+        # int8-quantized cache sides arrive as (payload, per-column scale)
+        # tuples (ops/kv_quant.py; opt-in cache_dtype: int8)
+        quantized = isinstance(k, tuple)
+        if quantized:
+            k_pay, k_scale = k
+            v_pay, v_scale = v
+            b, h, km, lc, dk = k_pay.shape
+        else:
+            b, h, km, lc, dk = k.shape
         n = b * beam
         q = q_heads  # (N, H, 1, dk)
         scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
@@ -250,6 +258,34 @@ class MultiHeadedAttention(nn.Module):
         use_fused = (
             (on_tpu and _FUSED_GROUP_ATTEND) if fused is None else bool(fused)
         )
+        if use_fused and quantized:
+            from tailored_avsr_tpu.ops.group_attend import group_attend_anc_q
+            from tailored_avsr_tpu.parallel.mesh import shard_pallas_over_data
+
+            if anc.shape[1] < lc:
+                anc = jnp.pad(
+                    anc, ((0, 0), (0, lc - anc.shape[1])), constant_values=-1
+                )
+            call = functools.partial(
+                group_attend_anc_q, width=width, interpret=not on_tpu
+            )
+            call = shard_pallas_over_data(call, mesh, b, n_arrays=8, n_outs=1)
+            out = call(
+                k_pay, k_scale, v_pay, v_scale, qg,
+                k_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),
+                v_new[:, :, 0].reshape(b, beam, h, dk).transpose(0, 2, 1, 3),
+                anc[:, :lc].reshape(b, beam, lc), pos,
+            )  # (B, H, i, dk)
+            d = h * dk
+            out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)
+            return self.linear_out(out)
+        if quantized:
+            # XLA / off-TPU twin: dequantize and fall through to the exact
+            # formulation below (materializes the bf16 cache — debug path)
+            from tailored_avsr_tpu.ops.kv_quant import dequantize_cache
+
+            k = dequantize_cache(k_pay, k_scale, q_heads.dtype)
+            v = dequantize_cache(v_pay, v_scale, q_heads.dtype)
         if use_fused:
             # Pallas fused path (ops/group_attend.py): the (B, H, i, j, t)
             # logits/probs tensors below are materialized to HBM by XLA —

@@ -36,11 +36,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLK = 8  # sublane tile along Lc
+def _blk(dtype) -> int:
+    """Sublane tile along Lc: 8 for f32/bf16 tilings, 32 for int8 (the
+    quantized-cache payload) — Mosaic slices along a tiled dim must be
+    tile-aligned."""
+    return 32 if jnp.dtype(dtype).itemsize == 1 else 8
 
 
 def _rmw_col_kernel(pos_ref, col_ref, cache_blk_ref, out_blk_ref):
-    sub = pos_ref[0] % _BLK  # column's sublane within the selected block
+    blk = out_blk_ref.shape[3]
+    sub = pos_ref[0] % blk  # column's sublane within the selected block
     off = jax.lax.broadcasted_iota(jnp.int32, out_blk_ref.shape, 3)
     out_blk_ref[...] = jnp.where(
         off == sub, col_ref[...], cache_blk_ref[...]
@@ -50,7 +55,8 @@ def _rmw_col_kernel(pos_ref, col_ref, cache_blk_ref, out_blk_ref):
 def _rmw_col_kv_kernel(
     pos_ref, kcol_ref, vcol_ref, kblk_ref, vblk_ref, kout_ref, vout_ref
 ):
-    sub = pos_ref[0] % _BLK
+    blk = kout_ref.shape[3]
+    sub = pos_ref[0] % blk
     off = jax.lax.broadcasted_iota(jnp.int32, kout_ref.shape, 3)
     kout_ref[...] = jnp.where(off == sub, kcol_ref[...], kblk_ref[...])
     vout_ref[...] = jnp.where(off == sub, vcol_ref[...], vblk_ref[...])
@@ -66,8 +72,9 @@ def write_cache_column(
 ) -> jnp.ndarray:
     """cache[:, :, :, pos, :] = col, in place (cache buffer is aliased)."""
     b, h, k, lc, dk = cache.shape
-    if lc % _BLK != 0:
-        raise ValueError(f"cache Lc dim must be a multiple of {_BLK}, got {lc}")
+    blk = _blk(cache.dtype)
+    if lc % blk != 0:
+        raise ValueError(f"cache Lc dim must be a multiple of {blk}, got {lc}")
     # Clamp: the beam loop's unroll-2 overshoot step may present pos == lc
     # (odd lmax rounded to 8). That write is result-inert (the loop exits
     # before the column is ever read), but an unclamped pos // 8 would select
@@ -79,7 +86,7 @@ def write_cache_column(
     # flagship decode shape), which overflows the 16 MB scoped-VMEM budget
     # once Mosaic double-buffers it. Per-batch-row blocks are ~160 KB and
     # the 8-column DMAs pipeline across grid steps.
-    blk_at_pos = lambda i, pos_ref: (i, 0, 0, pos_ref[0] // _BLK, 0)
+    blk_at_pos = lambda i, pos_ref: (i, 0, 0, pos_ref[0] // blk, 0)
     return pl.pallas_call(
         _rmw_col_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -87,9 +94,9 @@ def write_cache_column(
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, h, k, 1, dk), lambda i, pos_ref: (i, 0, 0, 0, 0)),
-                pl.BlockSpec((1, h, k, _BLK, dk), blk_at_pos),
+                pl.BlockSpec((1, h, k, blk, dk), blk_at_pos),
             ],
-            out_specs=pl.BlockSpec((1, h, k, _BLK, dk), blk_at_pos),
+            out_specs=pl.BlockSpec((1, h, k, blk, dk), blk_at_pos),
         ),
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         input_output_aliases={2: 0},
@@ -117,14 +124,15 @@ def write_cache_columns_kv(
     from B steps to B/gb — measured end to end in scripts/sweep_beam_cost.py.
     """
     b, h, k, lc, dk = kcache.shape
-    if lc % _BLK != 0:
-        raise ValueError(f"cache Lc dim must be a multiple of {_BLK}, got {lc}")
+    blk = _blk(kcache.dtype)
+    if lc % blk != 0:
+        raise ValueError(f"cache Lc dim must be a multiple of {blk}, got {lc}")
     # Same out-of-bounds guard as write_cache_column: the overshoot step's
     # write may present pos == lc; clamp instead of relying on the caller's
     # parity invariant (unroll 2 + 8-rounded Lc).
     pos = jnp.minimum(jnp.asarray(pos, jnp.int32), lc - 1)
     itemsize = jnp.dtype(kcache.dtype).itemsize
-    row_bytes = h * k * _BLK * dk * itemsize
+    row_bytes = h * k * blk * dk * itemsize
     gb = 1
     while gb * 2 <= b and b % (gb * 2) == 0 and gb * 2 * row_bytes <= (1 << 20):
         gb *= 2
@@ -132,7 +140,7 @@ def write_cache_columns_kv(
     vupd = vcol.astype(vcache.dtype)[:, :, :, None, :]
     col_spec = pl.BlockSpec((gb, h, k, 1, dk), lambda i, pos_ref: (i, 0, 0, 0, 0))
     blk_spec = pl.BlockSpec(
-        (gb, h, k, _BLK, dk), lambda i, pos_ref: (i, 0, 0, pos_ref[0] // _BLK, 0)
+        (gb, h, k, blk, dk), lambda i, pos_ref: (i, 0, 0, pos_ref[0] // blk, 0)
     )
     out = pl.pallas_call(
         _rmw_col_kv_kernel,

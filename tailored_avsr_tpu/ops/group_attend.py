@@ -96,6 +96,118 @@ def _group_attend_kernel(
         out_ref[0, hi] = o.astype(out_ref.dtype)
 
 
+def _group_attend_q_kernel(
+    pos_ref,  # scalar prefetch: (1,) int32
+    q_ref,  # (1, H, K, dk)
+    knew_ref,  # (1, H, K, dk) unquantized self column
+    vnew_ref,  # (1, H, K, dk)
+    anc_ref,  # (1, K, Lc_full) int32 (full width, sliced in-kernel)
+    ks_ref,  # (1, H, K, Lc_full) f32 per-column key scales (full width)
+    vs_ref,  # (1, H, K, Lc_full) f32 per-column value scales
+    k_ref,  # (1, H, K, Lc, dk) int8
+    v_ref,  # (1, H, K, Lc, dk) int8
+    out_ref,  # (1, H, K, dk)
+    *,
+    scale: float,
+):
+    """int8-cache variant: logits = (q . k_i8) * ks[col]; the value matmul
+    folds vs into the softmax weights (w' = w * vs[col]) so both matmuls run
+    on the int8 payload upcast in VMEM — HBM traffic halves vs bf16."""
+    _, hb, km, lc, dk = k_ref.shape
+    anc = anc_ref[0, :, :lc]  # (K, Lc)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (km, lc), 1)
+    live = tt < pos_ref[0] - 1
+    valid_i = jnp.concatenate(
+        [((anc == j) & live).astype(jnp.int32) for j in range(km)], axis=1
+    )  # (K, K*Lc) {0,1}
+    valid = valid_i > 0
+    valid_f = valid_i.astype(jnp.float32)
+    for hi in range(hb):
+        q = q_ref[0, hi]  # (K, dk)
+        k2 = k_ref[0, hi].reshape(km * lc, dk).astype(q.dtype)
+        ks = ks_ref[0, hi, :, :lc].reshape(km * lc)  # (K*Lc,)
+        s = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (ks[None, :] * scale)  # (K, K*Lc)
+        s = jnp.where(valid, s, MASK_MIN)
+        s_new = jnp.sum(
+            q.astype(jnp.float32) * knew_ref[0, hi].astype(jnp.float32),
+            axis=1, keepdims=True,
+        ) * scale  # (K, 1)
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_new)
+        p = jnp.exp(s - m) * valid_f  # (K, K*Lc) f32
+        p_new = jnp.exp(s_new - m)  # (K, 1)
+        lsum = jnp.sum(p, axis=1, keepdims=True) + p_new
+        vs = vs_ref[0, hi, :, :lc].reshape(km * lc)
+        w = ((p / lsum) * vs[None, :]).astype(q.dtype)
+        v2 = v_ref[0, hi].reshape(km * lc, dk).astype(q.dtype)
+        o = jax.lax.dot_general(
+            w, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, dk)
+        o = o + (p_new / lsum) * vnew_ref[0, hi].astype(jnp.float32)
+        out_ref[0, hi] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "interpret"))
+def group_attend_anc_q(
+    k: jnp.ndarray,  # (B, H, K, Lc, dk) int8 group-major cached keys
+    k_scale: jnp.ndarray,  # (B, H, K, Lc) per-column key scales
+    v: jnp.ndarray,  # (B, H, K, Lc, dk) int8 cached values
+    v_scale: jnp.ndarray,  # (B, H, K, Lc)
+    q: jnp.ndarray,  # (B, H, K, dk)
+    k_new: jnp.ndarray,  # (B, H, K, dk) this step's key column (bf16/f32)
+    v_new: jnp.ndarray,  # (B, H, K, dk)
+    anc: jnp.ndarray,  # (B, K, Lc) int32
+    pos: jnp.ndarray,
+    *,
+    width: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused group attend over an int8-quantized cache; returns (B, H, K, dk)
+    in ``v_new.dtype``. Same contract as ``group_attend_anc``; ``width`` must
+    be a multiple of 32 (int8 sublane tile) when narrowing."""
+    b, h, km, lc, dk = k.shape
+    lc_full = lc
+    if width is not None:
+        if width % 32 != 0 or not (0 < width <= lc):
+            raise ValueError(
+                f"int8-cache width must be a multiple of 32 in (0, {lc}], "
+                f"got {width}"
+            )
+        lc = width
+    scale = 1.0 / math.sqrt(dk)
+    leaf_bytes = km * lc * dk  # int8
+    hb = h
+    while hb > 1 and (h % hb != 0 or hb * leaf_bytes > (3 << 20)):
+        hb -= 1
+    row3 = lambda i, j, pos_ref: (i, 0, 0)
+    row = lambda i, j, pos_ref: (i, j, 0, 0)
+    row5 = lambda i, j, pos_ref: (i, j, 0, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_group_attend_q_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hb),
+            in_specs=[
+                pl.BlockSpec((1, hb, km, dk), row),
+                pl.BlockSpec((1, hb, km, dk), row),
+                pl.BlockSpec((1, hb, km, dk), row),
+                pl.BlockSpec((1, km, lc_full), row3),
+                pl.BlockSpec((1, hb, km, lc_full), row),
+                pl.BlockSpec((1, hb, km, lc_full), row),
+                pl.BlockSpec((1, hb, km, lc, dk), row5),
+                pl.BlockSpec((1, hb, km, lc, dk), row5),
+            ],
+            out_specs=pl.BlockSpec((1, hb, km, dk), row),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, km, dk), v_new.dtype),
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1), q, k_new, v_new, anc,
+      k_scale.astype(jnp.float32), v_scale.astype(jnp.float32), k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "interpret"))
 def group_attend_anc(
     k: jnp.ndarray,  # (B, H, K, Lc, dk) group-major cached keys

@@ -123,3 +123,46 @@ def test_no_process_global_kernel_state(tmp_path):
     # engines built after the meshed one keep the default (auto) selection
     fresh = Speech2Text(make_cfg(tmp_path))
     assert fresh.fused_group_attend is None
+
+
+def test_int8_cache_full_beam_graph(tmp_path, monkeypatch):
+    """cache_dtype: int8 runs the quantized group-attend kernel
+    (group_attend_anc_q, interpret mode on CPU) + int8 cache-column writes
+    inside the complete joint CTC/attention + folded-LM beam decode. The
+    fused path must match the XLA dequantize formulation over the SAME
+    quantized cache hypothesis-for-hypothesis, and — on this tiny, clean
+    case — the bf16-exact baseline too (per-column int8 error ~0.4% of the
+    column max does not reorder these beams)."""
+    batch = make_batch()
+    lm_cfg = types.SimpleNamespace(token_list=None, **LM_CFG)
+    ref = Speech2Text(make_cfg(tmp_path), lm_config=lm_cfg)
+    res_exact = ref(batch)
+    monkeypatch.setenv("TAVSR_FORCE_PALLAS_WRITES", "1")
+    q_fused = Speech2Text(
+        make_cfg(tmp_path, cache_dtype="int8", fused_group_attend=True,
+                 phase_widths=[0.5, 1.0]),
+        lm_config=lm_cfg,
+    )
+    q_fused.ensure_params(batch)
+    q_fused.variables = ref.variables
+    q_fused.lm_variables = ref.lm_variables
+    res_q_fused = q_fused(batch)
+    monkeypatch.delenv("TAVSR_FORCE_PALLAS_WRITES")
+    q_xla = Speech2Text(
+        make_cfg(tmp_path, cache_dtype="int8", fused_group_attend=False),
+        lm_config=lm_cfg,
+    )
+    q_xla.ensure_params(batch)
+    q_xla.variables = ref.variables
+    q_xla.lm_variables = ref.lm_variables
+    res_q_xla = q_xla(batch)
+    assert [r[0] for r in res_q_fused] == [r[0] for r in res_q_xla]
+    assert [r[0] for r in res_q_fused] == [r[0] for r in res_exact]
+
+
+def test_int8_cache_requires_anc_protocol(tmp_path):
+    with pytest.raises(NotImplementedError, match="cache_protocol"):
+        Speech2Text(make_cfg(tmp_path, cache_dtype="int8",
+                             cache_protocol="append"))
+    with pytest.raises(NotImplementedError, match="cache_dtype"):
+        Speech2Text(make_cfg(tmp_path, cache_dtype="int4"))

@@ -151,3 +151,90 @@ def test_edge_shapes_beam1_minlc_wide_dk():
             np.asarray(got, np.float64), want, rtol=1e-4, atol=1e-5,
             err_msg=f"case {(b, h, km, lc, dk, pos)}",
         )
+
+
+def quantize_case(k, v):
+    """Per-column int8 quantization of a test case's cache sides."""
+    from tailored_avsr_tpu.ops.kv_quant import quantize_kv_column
+
+    kq, ks = quantize_kv_column(k)
+    vq, vs = quantize_kv_column(v)
+    return (kq, ks), (vq, vs)
+
+
+def test_quantized_kernel_matches_dequantized_oracle():
+    """group_attend_anc_q over an int8 cache == the f64 oracle over the
+    DEQUANTIZED cache (bit-for-bit the same inputs — the quantization error
+    itself is not under test here, the kernel's scale folding is)."""
+    from tailored_avsr_tpu.ops.group_attend import group_attend_anc_q
+    from tailored_avsr_tpu.ops.kv_quant import dequantize_cache
+
+    rng = np.random.RandomState(7)
+    for (b, h, km, lc, dk), pos, w in [
+        ((2, 3, 4, 32, 8), 9, None),
+        ((2, 2, 3, 64, 16), 17, 32),  # narrowed width, 32-tile
+        ((1, 2, 3, 32, 8), 1, None),  # first step: self only
+    ]:
+        k, v, q, k_new, v_new, anc = make_case(rng, b, h, km, lc, dk, pos)
+        (kq, ks), (vq, vs) = quantize_case(k, v)
+        got = group_attend_anc_q(
+            kq, ks, vq, vs, q, k_new, v_new, anc, pos, width=w,
+            interpret=True,
+        )
+        kd = dequantize_cache(kq, ks, jnp.float32)
+        vd = dequantize_cache(vq, vs, jnp.float32)
+        want = ref_group_attend(kd, vd, q, k_new, v_new, anc, pos)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float64), want, rtol=2e-4, atol=2e-5
+        )
+
+
+def test_quantization_error_bound():
+    """Per-column symmetric int8: dequantized values within 0.5 LSB of the
+    column max — the quality contract cache_dtype:int8 rests on."""
+    from tailored_avsr_tpu.ops.kv_quant import dequantize_cache, quantize_kv_column
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 4, 3, 16, 8) * 3.0, jnp.float32)
+    q, s = quantize_kv_column(x)
+    back = dequantize_cache(q, s, jnp.float32)
+    colmax = np.max(np.abs(np.asarray(x)), axis=-1)
+    err = np.max(np.abs(np.asarray(back) - np.asarray(x)), axis=-1)
+    assert np.all(err <= colmax / 127.0 * 0.5 + 1e-7)
+    # zero columns round-trip to exact zeros
+    x0 = jnp.zeros((1, 1, 1, 8, 4), jnp.float32)
+    q0, s0 = quantize_kv_column(x0)
+    np.testing.assert_array_equal(np.asarray(dequantize_cache(q0, s0, jnp.float32)), 0.0)
+
+
+def test_attend_kv_anc_quantized_fused_matches_xla():
+    """The full attend entry point (ops/attention.attend_kv_anc) with tuple
+    cache sides: fused interpret path vs the XLA dequantize fallback."""
+    import jax
+
+    from tailored_avsr_tpu.ops.attention import MultiHeadedAttention
+
+    rng = np.random.RandomState(11)
+    b, h, km, lc, dk = 2, 2, 3, 32, 8
+    d = h * dk
+    pos = 9
+    mha = MultiHeadedAttention(h, 0.0, d)
+    x = jnp.asarray(rng.randn(b * km, 1, d), jnp.float32)
+    variables = mha.init(jax.random.PRNGKey(0), x, x, x, None)
+    k, v, q, k_new, v_new, anc = make_case(rng, b, h, km, lc, dk, pos)
+    kq, vq = quantize_case(k, v)
+    qh = q.transpose(0, 2, 1, 3).reshape(b * km, h, 1, dk)
+    kn = k_new.transpose(0, 2, 1, 3).reshape(b * km, h, 1, dk)
+    vn = v_new.transpose(0, 2, 1, 3).reshape(b * km, h, 1, dk)
+    anc_n = np.asarray(anc).reshape(b * km, lc)
+    got_f = mha.apply(
+        variables, kq, vq, kn, vn, jnp.asarray(anc_n), pos, km, qh,
+        method=lambda m, *a: m.attend_kv_anc(*a, fused=True),
+    )
+    got_x = mha.apply(
+        variables, kq, vq, kn, vn, jnp.asarray(anc_n), pos, km, qh,
+        method=lambda m, *a: m.attend_kv_anc(*a, fused=False),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_f), np.asarray(got_x), rtol=2e-4, atol=2e-5
+    )
