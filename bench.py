@@ -256,6 +256,8 @@ def resolve_beam_tuning(args_cli, tuning: dict):
             overrides[key] = bool(tuning[key])
     if tuning.get("cache_protocol"):
         overrides["cache_protocol"] = str(tuning["cache_protocol"])
+    if tuning.get("cache_dtype"):
+        overrides["cache_dtype"] = str(tuning["cache_dtype"])
     if "unroll" in tuning:
         overrides["unroll"] = int(tuning["unroll"])
     beam_phases = args_cli.beam_phases or ",".join(
@@ -324,7 +326,7 @@ def bench_beam(args_cli, on_tpu, peak_tf, samples, metric: str):
     extra = {"probe": probe_note} if probe_note else {}
     # non-default operating-point knobs must be visible in the record
     for knob in ("quantize_lm", "quantize_asr_model", "cache_protocol",
-                 "phase_widths"):
+                 "cache_dtype", "phase_widths"):
         if knob in overrides:
             extra[knob] = overrides[knob]
     emit(metric, value=round(rtf_b, 2), vs_baseline=round(rtf_b / 150.0, 3),
@@ -350,10 +352,12 @@ def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False,
 
     rng = np.random.RandomState(7)
     tb, tframes = (2, 16) if tiny else (16, 100)
+    tuning = {} if tiny else load_tuning()
     if train_batch is None and not tiny:
-        train_batch = load_tuning().get("train_batch")
+        train_batch = tuning.get("train_batch")
     if train_batch and not tiny:
         tb = int(train_batch)
+    use_remat = bool(tuning.get("train_remat", False))
     tsamples = tframes * 640
     batch = (
         jnp.asarray(rng.randn(tb, tsamples).astype(np.float32) * 0.1),
@@ -370,7 +374,7 @@ def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False,
     )
     tx = optax.adamw(1e-3)
     step = make_train_step(
-        tmodel, tx, donate=True,
+        tmodel, tx, donate=True, remat=use_remat,
         compute_dtype=jnp.bfloat16 if on_tpu else None,
     )
     key = jax.random.PRNGKey(3)
@@ -406,7 +410,7 @@ def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False,
         times.append(time.perf_counter() - t0)
     dt_t = min(times)
     rtf_t = tb * tsamples / 16000.0 / dt_t
-    extra = {"batch": tb,
+    extra = {"batch": tb, "remat": use_remat,
              # one epoch of the reference's 818 h corpus (BASELINE.md) on
              # one chip at this throughput
              "epoch_hours_818h": round(818.0 / rtf_t, 2)}

@@ -92,6 +92,42 @@ for dtype, dtol, (b, h, km, lc, dk), pos, w in [
     gate(f"attend-width{w} {dtype.__name__} ({b},{h},{km},{lc},{dk}) "
          f"pos={pos}", got_c, got_i, want, dtol)
 
+# ---------------- int8-quantized group attend (cache_dtype: int8) -------
+from tailored_avsr_tpu.ops.group_attend import group_attend_anc_q
+from tailored_avsr_tpu.ops.kv_quant import dequantize_cache, quantize_kv_column
+
+for dtype, dtol, (b, h, km, lc, dk), pos, w in [
+    (jnp.bfloat16, 6e-2, (2, 8, 10, 128, 64), 90, None),  # flagship LM layer
+    (jnp.bfloat16, 6e-2, (2, 4, 10, 128, 64), 52, 64),    # narrowed width
+]:
+    k, v, q, k_new, v_new, anc = make_case(rng, b, h, km, lc, dk, pos,
+                                           dtype=dtype)
+    kq, ks = quantize_kv_column(k)
+    vq, vs = quantize_kv_column(v)
+    got_c = group_attend_anc_q(kq, ks, vq, vs, q, k_new, v_new, anc, pos,
+                               width=w)
+    got_i = group_attend_anc_q(kq, ks, vq, vs, q, k_new, v_new, anc, pos,
+                               width=w, interpret=True)
+    want = ref_group_attend(dequantize_cache(kq, ks, jnp.float32),
+                            dequantize_cache(vq, vs, jnp.float32),
+                            q, k_new, v_new, anc, pos)
+    gate(f"attend-q{'' if w is None else w} {dtype.__name__} "
+         f"({b},{h},{km},{lc},{dk}) pos={pos}", got_c, got_i, want, dtol)
+
+# int8 cache-column write (pure DMA at the 32-sublane tile)
+from tailored_avsr_tpu.ops.cache_update import write_cache_columns_kv as _wkv
+
+ck8 = jnp.asarray(rng.randint(-127, 128, (4, 8, 10, 128, 64)), jnp.int8)
+cv8 = jnp.asarray(rng.randint(-127, 128, (4, 8, 10, 128, 64)), jnp.int8)
+kc8 = jnp.asarray(rng.randint(-127, 128, (4, 8, 10, 64)), jnp.int8)
+vc8 = jnp.asarray(rng.randint(-127, 128, (4, 8, 10, 64)), jnp.int8)
+gk8, gv8 = _wkv(ck8, cv8, kc8, vc8, 37)
+np.testing.assert_array_equal(
+    np.asarray(gk8), np.asarray(ck8.at[:, :, :, 37, :].set(kc8)))
+np.testing.assert_array_equal(
+    np.asarray(gv8), np.asarray(cv8.at[:, :, :, 37, :].set(vc8)))
+print("kv-write int8 exact ok", flush=True)
+
 # ---------------- paired KV cache-column write (bit-exact DMA) ----------
 from tailored_avsr_tpu.ops.cache_update import write_cache_columns_kv
 

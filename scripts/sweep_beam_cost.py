@@ -47,6 +47,10 @@ def main():
                     choices=["", "lm", "asr", "lm+asr"],
                     help="weight-only int8 quantization A/B "
                          "(utils/quantize.py): which model(s) to quantize")
+    ap.add_argument("--cache-dtype", default="",
+                    choices=["", "bfloat16", "float32", "int8"],
+                    help="beam KV-cache dtype A/B (ops/kv_quant.py): int8 "
+                         "halves attend traffic on the anc protocol")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +116,8 @@ def run_point(args, on_tpu, b, variant, data, secs, frames):
         cfg.inference_conf["quantize_lm"] = True
     if "asr" in args.quantize:
         cfg.inference_conf["quantize_asr_model"] = True
+    if args.cache_dtype:
+        cfg.inference_conf["cache_dtype"] = args.cache_dtype
     s2t = Speech2Text(cfg, lm_config=lm_cfg)
     d = s2t.device_put_batch(dict(data))
     dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
@@ -119,6 +125,7 @@ def run_point(args, on_tpu, b, variant, data, secs, frames):
         "batch": b, "protocol": args.protocol, "unroll": args.unroll,
         "fused": args.fused, "phases": args.phase_widths or None,
         "quantize": args.quantize or None,
+        "cache_dtype": args.cache_dtype or None,
         "variant": variant, "ms": round(dt * 1e3, 1),
         "rtf": round(secs / dt, 1),
         # the full loop runs ~one step per encoder frame (early_exit

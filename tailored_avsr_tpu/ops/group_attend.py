@@ -112,41 +112,55 @@ def _group_attend_q_kernel(
 ):
     """int8-cache variant: logits = (q . k_i8) * ks[col]; the value matmul
     folds vs into the softmax weights (w' = w * vs[col]) so both matmuls run
-    on the int8 payload upcast in VMEM — HBM traffic halves vs bf16."""
+    on the int8 payload upcast in VMEM — HBM traffic halves vs bf16.
+
+    Unlike the bf16 kernel, this one never forms the (K, K*Lc) tensors: the
+    per-column scale row cannot be built for a narrowed block — a reshape
+    INTO the lane axis is an unsupported Mosaic shape cast and a lane concat
+    of (1, Lc) sublane slices trips "offset mismatch on non-concat
+    dimension". Instead the kernel streams per source-beam j: (K, Lc) logit
+    blocks with the j-th 1-D scale row broadcast, a two-pass max/normalize,
+    and km accumulating (K, Lc) x (Lc, dk) value matmuls — same MXU tile
+    count as the fused matmul, no relayouts."""
     _, hb, km, lc, dk = k_ref.shape
     anc = anc_ref[0, :, :lc]  # (K, Lc)
     tt = jax.lax.broadcasted_iota(jnp.int32, (km, lc), 1)
     live = tt < pos_ref[0] - 1
-    valid_i = jnp.concatenate(
-        [((anc == j) & live).astype(jnp.int32) for j in range(km)], axis=1
-    )  # (K, K*Lc) {0,1}
-    valid = valid_i > 0
-    valid_f = valid_i.astype(jnp.float32)
+    valid = [(anc == j) & live for j in range(km)]  # each (K, Lc)
     for hi in range(hb):
         q = q_ref[0, hi]  # (K, dk)
-        k2 = k_ref[0, hi].reshape(km * lc, dk).astype(q.dtype)
-        ks = ks_ref[0, hi, :, :lc].reshape(km * lc)  # (K*Lc,)
-        s = jax.lax.dot_general(
-            q, k2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (ks[None, :] * scale)  # (K, K*Lc)
-        s = jnp.where(valid, s, MASK_MIN)
         s_new = jnp.sum(
             q.astype(jnp.float32) * knew_ref[0, hi].astype(jnp.float32),
             axis=1, keepdims=True,
         ) * scale  # (K, 1)
-        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_new)
-        p = jnp.exp(s - m) * valid_f  # (K, K*Lc) f32
+        s_blocks = []
+        for j in range(km):
+            k2 = k_ref[0, hi, j].astype(q.dtype)  # (Lc, dk) int8 upcast
+            ks_j = ks_ref[0, hi, j, :lc][None, :]  # (1, Lc)
+            s_j = jax.lax.dot_general(
+                q, k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (ks_j * scale)  # (K, Lc)
+            s_blocks.append(jnp.where(valid[j], s_j, MASK_MIN))
+        m = s_new
+        for s_j in s_blocks:
+            m = jnp.maximum(m, jnp.max(s_j, axis=1, keepdims=True))
         p_new = jnp.exp(s_new - m)  # (K, 1)
-        lsum = jnp.sum(p, axis=1, keepdims=True) + p_new
-        vs = vs_ref[0, hi, :, :lc].reshape(km * lc)
-        w = ((p / lsum) * vs[None, :]).astype(q.dtype)
-        v2 = v_ref[0, hi].reshape(km * lc, dk).astype(q.dtype)
-        o = jax.lax.dot_general(
-            w, v2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (K, dk)
-        o = o + (p_new / lsum) * vnew_ref[0, hi].astype(jnp.float32)
+        lsum = p_new
+        p_blocks = []
+        for j in range(km):
+            p_j = jnp.exp(s_blocks[j] - m) * valid[j].astype(jnp.float32)
+            p_blocks.append(p_j)
+            lsum = lsum + jnp.sum(p_j, axis=1, keepdims=True)
+        o = (p_new / lsum) * vnew_ref[0, hi].astype(jnp.float32)  # (K, dk)
+        for j in range(km):
+            vs_j = vs_ref[0, hi, j, :lc][None, :]  # (1, Lc)
+            w_j = ((p_blocks[j] / lsum) * vs_j).astype(q.dtype)
+            v2 = v_ref[0, hi, j].astype(q.dtype)  # (Lc, dk)
+            o = o + jax.lax.dot_general(
+                w_j, v2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         out_ref[0, hi] = o.astype(out_ref.dtype)
 
 
