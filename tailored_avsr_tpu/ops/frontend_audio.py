@@ -144,3 +144,79 @@ class SlidingWindowFrontend(nn.Module):
             1 + (lengths - self.win_length) // self.hop_length, 0
         ).astype(jnp.int32)
         return frames, out_lens
+
+
+class FusedFrontend(nn.Module):
+    """Multiple audio frontends fused on the feature axis (espnet
+    ``FusedFrontends``, registered by the reference at src/tasks/asr.py:55,99
+    and src/tasks/avsr.py — ``frontend: fused``).
+
+    Each entry of ``frontends`` is that sub-frontend's config with a
+    ``frontend_type`` key (``default`` | ``sliding_window``; the external-
+    pretrained types s3prl/whisper stay gated — zero-egress build). Alignment
+    follows espnet's ``linear_projection`` method: with g = gcd of the hop
+    lengths and factor_i = hop_i // g, each sub-frontend's (B, T_i, D_i)
+    features project through a learned Dense to factor_i * proj_dim and
+    reshape to the common frame rate (B, T_i * factor_i, proj_dim); all
+    streams truncate to the shortest and concatenate, so
+    ``output_size() == len(frontends) * proj_dim``.
+    """
+
+    frontends: tuple = ()
+    align_method: str = "linear_projection"
+    proj_dim: int = 100
+
+    def setup(self):
+        if self.align_method != "linear_projection":
+            raise NotImplementedError(
+                f"fused frontend align_method={self.align_method!r}: espnet "
+                "and this port implement only 'linear_projection'"
+            )
+        if not self.frontends:
+            raise ValueError("fused frontend needs at least one sub-frontend")
+        subs = []
+        for conf in self.frontends:
+            conf = dict(conf)
+            kind = conf.pop("frontend_type", "default")
+            if kind == "default":
+                keep = ("fs", "n_fft", "win_length", "hop_length", "n_mels",
+                        "fmin", "fmax")
+                subs.append(LogMelFrontend(
+                    **{k: v for k, v in conf.items() if k in keep}))
+            elif kind == "sliding_window":
+                keep = ("win_length", "hop_length")
+                subs.append(SlidingWindowFrontend(
+                    **{k: v for k, v in conf.items() if k in keep}))
+            else:
+                raise NotImplementedError(
+                    f"fused sub-frontend '{kind}' needs external pretrained "
+                    "weights, unavailable in this zero-egress build; use "
+                    "'default' or 'sliding_window'"
+                )
+        self.subs = subs
+        g = np.gcd.reduce([f.hop_length for f in subs])
+        self.factors = tuple(int(f.hop_length // g) for f in subs)
+        self.projections = [
+            nn.Dense(self.factors[i] * self.proj_dim, name=f"proj{i}")
+            for i in range(len(subs))
+        ]
+
+    def output_size(self) -> int:
+        return len(self.frontends) * self.proj_dim
+
+    def __call__(self, speech: jnp.ndarray, lengths: jnp.ndarray):
+        feats, lens = [], []
+        for sub, factor, proj in zip(self.subs, self.factors,
+                                     self.projections):
+            x, xl = sub(speech, lengths)  # (B, T_i, D_i)
+            x = proj(x)  # (B, T_i, factor * proj_dim)
+            b, t, _ = x.shape
+            x = x.reshape(b, t * factor, self.proj_dim)
+            feats.append(x)
+            lens.append(xl * factor)
+        m = min(x.shape[1] for x in feats)
+        out = jnp.concatenate([x[:, :m, :] for x in feats], axis=-1)
+        out_lens = jnp.minimum(
+            jnp.stack([jnp.minimum(l, m) for l in lens], 0).min(0), m
+        ).astype(jnp.int32)
+        return out, out_lens

@@ -78,11 +78,20 @@ def build_frontend(name: Optional[str], conf: Optional[Dict]):
         from tailored_avsr_tpu.ops.frontend_audio import SlidingWindowFrontend
 
         return SlidingWindowFrontend(**filter_conf(SlidingWindowFrontend, conf))
-    if name in ("s3prl", "whisper", "fused"):
+    if name == "fused":
+        from tailored_avsr_tpu.ops.frontend_audio import FusedFrontend
+
+        conf = dict(conf or {})
+        if "frontends" in conf:
+            conf["frontends"] = tuple(
+                dict(f) for f in conf["frontends"]
+            )
+        return FusedFrontend(**filter_conf(FusedFrontend, conf))
+    if name in ("s3prl", "whisper"):
         raise NotImplementedError(
             f"frontend '{name}' needs external pretrained weights, which are "
             "unavailable in this zero-egress build; use 'default' (log-mel), "
-            "'sliding_window', or 'conv3dresnet18'"
+            "'sliding_window', 'fused', or 'conv3dresnet18'"
         )
     raise ValueError(f"unknown frontend: {name}")
 

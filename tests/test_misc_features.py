@@ -118,6 +118,44 @@ def test_sliding_window_frontend_and_gated_choices():
         build_frontend("whisper", {})
 
 
+def test_fused_frontend():
+    """espnet FusedFrontends semantics (reference src/tasks/asr.py:55,99):
+    hop-gcd frame alignment, per-frontend linear projection to
+    factor*proj_dim, reshape to the common rate, truncate to the shortest,
+    concat on features."""
+    from tailored_avsr_tpu.tasks.common import build_frontend
+
+    fe = build_frontend("fused", {
+        "frontends": [
+            {"frontend_type": "default", "n_mels": 40, "hop_length": 160},
+            {"frontend_type": "sliding_window", "hop_length": 320},
+        ],
+        "proj_dim": 24,
+    })
+    assert fe.output_size() == 48
+    speech = jnp.asarray(np.random.RandomState(0).randn(2, 3200), jnp.float32)
+    lens = jnp.array([3200, 1600])
+    v = fe.init(jax.random.PRNGKey(0), speech, lens)
+    out, out_lens = fe.apply(v, speech, lens)
+    # default: 3200//160+1 = 21 frames @hop160 (factor 1);
+    # sliding_window: 1+(3200-400)//320 = 9 frames @hop320 (factor 2) -> 18.
+    # row 2 (1600 samples): min(1600//160+1, 2*(1+(1600-400)//320)) = 8
+    assert out.shape == (2, 18, 48)
+    np.testing.assert_array_equal(np.asarray(out_lens), [18, 8])
+    # per-stream content: first proj_dim features come from the log-mel
+    # stream, projected — zero speech gives IDENTICAL rows across batch
+    out2, _ = fe.apply(v, jnp.zeros_like(speech), lens)
+    np.testing.assert_allclose(
+        np.asarray(out2[0]), np.asarray(out2[1]), rtol=1e-6, atol=1e-6
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        build_frontend("fused", {
+            "frontends": [{"frontend_type": "s3prl"}],
+        }).init(jax.random.PRNGKey(0), speech, lens)
+
+
 def test_global_mvn_stats_script(tmp_path):
     from tests.synthetic import make_synthetic_corpus
 
