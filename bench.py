@@ -258,6 +258,8 @@ def resolve_beam_tuning(args_cli, tuning: dict):
         overrides["cache_protocol"] = str(tuning["cache_protocol"])
     if tuning.get("cache_dtype"):
         overrides["cache_dtype"] = str(tuning["cache_dtype"])
+    if tuning.get("mem_dtype"):
+        overrides["mem_dtype"] = str(tuning["mem_dtype"])
     if "unroll" in tuning:
         overrides["unroll"] = int(tuning["unroll"])
     beam_phases = args_cli.beam_phases or ",".join(
@@ -326,7 +328,7 @@ def bench_beam(args_cli, on_tpu, peak_tf, samples, metric: str):
     extra = {"probe": probe_note} if probe_note else {}
     # non-default operating-point knobs must be visible in the record
     for knob in ("quantize_lm", "quantize_asr_model", "cache_protocol",
-                 "cache_dtype", "phase_widths"):
+                 "cache_dtype", "mem_dtype", "phase_widths"):
         if knob in overrides:
             extra[knob] = overrides[knob]
     emit(metric, value=round(rtf_b, 2), vs_baseline=round(rtf_b / 150.0, 3),

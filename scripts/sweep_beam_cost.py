@@ -51,6 +51,9 @@ def main():
                     choices=["", "bfloat16", "float32", "int8"],
                     help="beam KV-cache dtype A/B (ops/kv_quant.py): int8 "
                          "halves attend traffic on the anc protocol")
+    ap.add_argument("--mem-dtype", default="", choices=["", "int8"],
+                    help="cross-attention memory K/V dtype A/B: int8 halves "
+                         "the never-phased per-step encoder-memory read")
     args = ap.parse_args()
 
     import jax
@@ -118,6 +121,8 @@ def run_point(args, on_tpu, b, variant, data, secs, frames):
         cfg.inference_conf["quantize_asr_model"] = True
     if args.cache_dtype:
         cfg.inference_conf["cache_dtype"] = args.cache_dtype
+    if args.mem_dtype:
+        cfg.inference_conf["mem_dtype"] = args.mem_dtype
     s2t = Speech2Text(cfg, lm_config=lm_cfg)
     d = s2t.device_put_batch(dict(data))
     dt = timeit(lambda dd: s2t._decode_arrays(dd), d, iters=5)
@@ -126,6 +131,7 @@ def run_point(args, on_tpu, b, variant, data, secs, frames):
         "fused": args.fused, "phases": args.phase_widths or None,
         "quantize": args.quantize or None,
         "cache_dtype": args.cache_dtype or None,
+        "mem_dtype": args.mem_dtype or None,
         "variant": variant, "ms": round(dt * 1e3, 1),
         "rtf": round(secs / dt, 1),
         # the full loop runs ~one step per encoder frame (early_exit

@@ -46,7 +46,8 @@ _INFERENCE_KEYS = frozenset({
     "pre_beam", "cache_segments", "fused_group_attend", "cache_protocol",
     "video_scale", "video_mean", "video_std", "device_normalize",
     "quantize_asr_model", "quantize_lm", "quantize_dtype",
-    "quantize_min_size", "cache_dtype", "ngram_weight", "ngram_file",
+    "quantize_min_size", "cache_dtype", "mem_dtype", "ngram_weight",
+    "ngram_file",
     "ngram_scorer",
     "data_parallel",
     "batch_size",  # consumed by the avsr_main inference dataloader
@@ -227,6 +228,21 @@ class Speech2Text:
         if self.cache_dtype == "int8" and self.cache_protocol != "anc":
             raise NotImplementedError(
                 "cache_dtype: int8 requires cache_protocol: anc"
+            )
+        # cross-attention memory K/V dtype: the encoder-memory K/V are the
+        # one per-step read that never phases down (always fully live);
+        # 'int8' stores them as (payload, per-column scale) tuples and the
+        # grouped mem attend folds the scales in (attend_kv_mem_grouped).
+        # NOT bit-exact; opt-in; anc protocol only.
+        self.mem_dtype = str(inf.get("mem_dtype", "") or "")
+        if self.mem_dtype not in ("", "int8"):
+            raise NotImplementedError(
+                f"mem_dtype={self.mem_dtype!r}: supported values are "
+                "'' (compute dtype) and 'int8'"
+            )
+        if self.mem_dtype == "int8" and self.cache_protocol != "anc":
+            raise NotImplementedError(
+                "mem_dtype: int8 requires cache_protocol: anc"
             )
         # device-side input normalization: inputs may arrive quantized (uint8
         # video straight from the ROI files, int16 audio) to cut host->device
@@ -645,6 +661,17 @@ class Speech2Text:
                     )
 
                     quant_cache = self.cache_dtype == "int8"
+                    if self.mem_dtype == "int8":
+                        # per-(b, h, t) column int8 memory K/V: halves the
+                        # one per-step read that phased widths can't shrink
+                        from tailored_avsr_tpu.ops.kv_quant import (
+                            quantize_kv_column,
+                        )
+
+                        mem_kv_b = [
+                            (quantize_kv_column(mk), quantize_kv_column(mv))
+                            for mk, mv in mem_kv_b
+                        ]
                     cache_dt = {
                         "bfloat16": jnp.bfloat16, "float32": jnp.float32,
                     }.get(self.cache_dtype, enc_out.dtype)

@@ -369,8 +369,8 @@ class MultiHeadedAttention(nn.Module):
     def attend_kv_mem_grouped(
         self,
         query: jnp.ndarray,  # (N, 1, D) single-step queries, N = B*beam
-        k: jnp.ndarray,  # (B, H, T, dk) group-shared cached keys
-        v: jnp.ndarray,  # (B, H, T, dk) group-shared cached values
+        k,  # (B, H, T, dk) group-shared cached keys, or (int8, scale) tuple
+        v,  # (B, H, T, dk) group-shared cached values, or (int8, scale)
         mask: Optional[jnp.ndarray],  # (B, T) key validity
         beam: int,
     ) -> jnp.ndarray:
@@ -379,7 +379,13 @@ class MultiHeadedAttention(nn.Module):
         tensors are read once per group instead of ``beam`` times. The
         row-repeated layout (``jnp.repeat(mem_kv, beam)``) costs beam x the
         HBM traffic of the shared memory every decode step — ~196 MB/step at
-        batch 32 beam 10 on the flagship decoder vs ~20 MB here."""
+        batch 32 beam 10 on the flagship decoder vs ~20 MB here.
+
+        ``mem_dtype: int8``: each side arrives as an (int8 payload, per-
+        (b, h, t) f32 scale) tuple (ops/kv_quant.py). The key scales fold
+        into the logits and the value scales into the softmax weights, so
+        both einsums read the int8 payload straight from HBM (XLA fuses the
+        upcast into the dot fusion) — memory traffic halves again vs bf16."""
         n, _, d = query.shape
         b = n // beam
         dk = d // self.num_heads
@@ -387,11 +393,21 @@ class MultiHeadedAttention(nn.Module):
         qg = q[:, :, 0].reshape(b, beam, self.num_heads, dk).transpose(
             0, 2, 1, 3
         )  # (B, H, i, dk)
-        scores = jnp.einsum("bhid,bhtd->bhit", qg, k) / jnp.sqrt(
-            jnp.asarray(dk, jnp.float32)
-        )
-        attn = _masked_softmax(scores, mask).astype(v.dtype)
-        out = jnp.einsum("bhit,bhtd->bhid", attn, v)  # (B, H, i, dk)
+        k_scale = v_scale = None
+        if isinstance(k, tuple):
+            (k, k_scale), (v, v_scale) = k, v  # payloads int8, scales (B,H,T)
+        scores = jnp.einsum(
+            "bhid,bhtd->bhit", qg, k.astype(qg.dtype)
+        ) / jnp.sqrt(jnp.asarray(dk, jnp.float32))
+        if k_scale is not None:
+            scores = scores.astype(jnp.float32) * k_scale[:, :, None, :]
+        attn = _masked_softmax(scores, mask)
+        if v_scale is not None:
+            attn = attn * v_scale[:, :, None, :]
+        attn = attn.astype(qg.dtype)
+        out = jnp.einsum(
+            "bhit,bhtd->bhid", attn, v.astype(qg.dtype)
+        )  # (B, H, i, dk)
         out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)
         return self.linear_out(out)
 

@@ -166,3 +166,38 @@ def test_int8_cache_requires_anc_protocol(tmp_path):
                              cache_protocol="append"))
     with pytest.raises(NotImplementedError, match="cache_dtype"):
         Speech2Text(make_cfg(tmp_path, cache_dtype="int4"))
+
+
+def test_int8_memory_full_beam_graph(tmp_path):
+    """mem_dtype: int8 quantizes the cross-attention encoder-memory K/V
+    (the one per-step read phased widths can't shrink) and folds the
+    per-column scales into the grouped mem attend. On this tiny, clean case
+    the hypotheses match the exact baseline; combined with cache_dtype int8
+    the whole bandwidth side of the beam step runs int8."""
+    batch = make_batch()
+    lm_cfg = types.SimpleNamespace(token_list=None, **LM_CFG)
+    ref = Speech2Text(make_cfg(tmp_path), lm_config=lm_cfg)
+    res_exact = ref(batch)
+    q_mem = Speech2Text(make_cfg(tmp_path, mem_dtype="int8"), lm_config=lm_cfg)
+    q_mem.ensure_params(batch)
+    q_mem.variables = ref.variables
+    q_mem.lm_variables = ref.lm_variables
+    res_q_mem = q_mem(batch)
+    assert [r[0] for r in res_q_mem] == [r[0] for r in res_exact]
+    both = Speech2Text(
+        make_cfg(tmp_path, mem_dtype="int8", cache_dtype="int8"),
+        lm_config=lm_cfg,
+    )
+    both.ensure_params(batch)
+    both.variables = ref.variables
+    both.lm_variables = ref.lm_variables
+    res_both = both(batch)
+    assert [r[0] for r in res_both] == [r[0] for r in res_exact]
+
+
+def test_int8_memory_requires_anc_protocol(tmp_path):
+    with pytest.raises(NotImplementedError, match="mem_dtype"):
+        Speech2Text(make_cfg(tmp_path, mem_dtype="int8",
+                             cache_protocol="append"))
+    with pytest.raises(NotImplementedError, match="mem_dtype"):
+        Speech2Text(make_cfg(tmp_path, mem_dtype="int4"))
