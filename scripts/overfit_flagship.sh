@@ -33,11 +33,11 @@ timeout 6000 python avsr_main.py \
   --output-dir "$SCRATCH/exp" \
   --output-name overfit \
   --yaml-overrides \
-    training_settings:epochs:60 \
+    training_settings:epochs:100 \
     training_settings:average_epochs:3 \
-    training_settings:warmup_steps:60 \
+    training_settings:warmup_steps:80 \
     training_settings:noam_factor:1.0 \
-    training_settings:batch_size:8 \
+    training_settings:batch_size:4 \
     training_settings:accum_grad:1 \
     inference_conf:batch_size:16 \
   2>&1 | tee "$ART/train.log" | tail -40

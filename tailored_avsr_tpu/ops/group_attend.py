@@ -102,65 +102,62 @@ def _group_attend_q_kernel(
     knew_ref,  # (1, H, K, dk) unquantized self column
     vnew_ref,  # (1, H, K, dk)
     anc_ref,  # (1, K, Lc_full) int32 (full width, sliced in-kernel)
-    ks_ref,  # (1, H, K, Lc_full) f32 per-column key scales (full width)
-    vs_ref,  # (1, H, K, Lc_full) f32 per-column value scales
+    ksf_ref,  # (1, H, K*Lc) f32 key scales, flattened to the attended width
+    vsf_ref,  # (1, H, K*Lc) f32 value scales, flattened likewise
     k_ref,  # (1, H, K, Lc, dk) int8
     v_ref,  # (1, H, K, Lc, dk) int8
     out_ref,  # (1, H, K, dk)
     *,
     scale: float,
 ):
-    """int8-cache variant: logits = (q . k_i8) * ks[col]; the value matmul
-    folds vs into the softmax weights (w' = w * vs[col]) so both matmuls run
-    on the int8 payload upcast in VMEM — HBM traffic halves vs bf16.
+    """int8-cache variant of ``_group_attend_kernel``: same single fused
+    (K, dk) x (dk, K*Lc) matmul per head on the upcast int8 payload, with
+    logits = raw * ks[col] and the value scales folded into the softmax
+    weights (w' = w * vs[col]) — HBM traffic halves vs bf16.
 
-    Unlike the bf16 kernel, this one never forms the (K, K*Lc) tensors: the
-    per-column scale row cannot be built for a narrowed block — a reshape
-    INTO the lane axis is an unsupported Mosaic shape cast and a lane concat
-    of (1, Lc) sublane slices trips "offset mismatch on non-concat
-    dimension". Instead the kernel streams per source-beam j: (K, Lc) logit
-    blocks with the j-th 1-D scale row broadcast, a two-pass max/normalize,
-    and km accumulating (K, Lc) x (Lc, dk) value matmuls — same MXU tile
-    count as the fused matmul, no relayouts."""
+    The per-column scale rows arrive PRE-FLATTENED to the attended width by
+    the XLA wrapper (scales are 1/dk of the payload bytes, so the slice+
+    reshape outside is noise): building (1, K*Lc) from a (K, Lc) block
+    in-kernel is a reshape INTO the lane axis — an unsupported Mosaic shape
+    cast — and a lane concat of (1, Lc) sublane slices trips "offset
+    mismatch on non-concat dimension". A first shipped revision streamed
+    per source-beam j instead (km separate (K, Lc) matmuls + two block
+    passes); it measured 26% SLOWER end-to-end than the exact bf16 kernel
+    (measurements/r4/int8day/) — op issue count dominates at these tiny
+    shapes, which is the same lesson as the row-major XLA layout note in
+    ``attend_kv_anc``'s docstring."""
     _, hb, km, lc, dk = k_ref.shape
-    anc = anc_ref[0, :, :lc]  # (K, Lc)
+    anc = anc_ref[0, :, :lc]  # (K, Lc) static slice of the full-width block
     tt = jax.lax.broadcasted_iota(jnp.int32, (km, lc), 1)
     live = tt < pos_ref[0] - 1
-    valid = [(anc == j) & live for j in range(km)]  # each (K, Lc)
+    valid_i = jnp.concatenate(
+        [((anc == j) & live).astype(jnp.int32) for j in range(km)], axis=1
+    )  # (K, K*Lc) {0,1}; i32 concat — Mosaic has no i1 vreg concat
+    valid = valid_i > 0
+    valid_f = valid_i.astype(jnp.float32)
     for hi in range(hb):
         q = q_ref[0, hi]  # (K, dk)
+        k2 = k_ref[0, hi].reshape(km * lc, dk).astype(q.dtype)  # int8 upcast
+        s = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (ksf_ref[0, hi][None, :] * scale)  # (K, K*Lc)
+        s = jnp.where(valid, s, MASK_MIN)
         s_new = jnp.sum(
             q.astype(jnp.float32) * knew_ref[0, hi].astype(jnp.float32),
             axis=1, keepdims=True,
         ) * scale  # (K, 1)
-        s_blocks = []
-        for j in range(km):
-            k2 = k_ref[0, hi, j].astype(q.dtype)  # (Lc, dk) int8 upcast
-            ks_j = ks_ref[0, hi, j, :lc][None, :]  # (1, Lc)
-            s_j = jax.lax.dot_general(
-                q, k2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (ks_j * scale)  # (K, Lc)
-            s_blocks.append(jnp.where(valid[j], s_j, MASK_MIN))
-        m = s_new
-        for s_j in s_blocks:
-            m = jnp.maximum(m, jnp.max(s_j, axis=1, keepdims=True))
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_new)
+        p = jnp.exp(s - m) * valid_f  # (K, K*Lc) f32
         p_new = jnp.exp(s_new - m)  # (K, 1)
-        lsum = p_new
-        p_blocks = []
-        for j in range(km):
-            p_j = jnp.exp(s_blocks[j] - m) * valid[j].astype(jnp.float32)
-            p_blocks.append(p_j)
-            lsum = lsum + jnp.sum(p_j, axis=1, keepdims=True)
-        o = (p_new / lsum) * vnew_ref[0, hi].astype(jnp.float32)  # (K, dk)
-        for j in range(km):
-            vs_j = vs_ref[0, hi, j, :lc][None, :]  # (1, Lc)
-            w_j = ((p_blocks[j] / lsum) * vs_j).astype(q.dtype)
-            v2 = v_ref[0, hi, j].astype(q.dtype)  # (Lc, dk)
-            o = o + jax.lax.dot_general(
-                w_j, v2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        lsum = jnp.sum(p, axis=1, keepdims=True) + p_new
+        w = ((p / lsum) * vsf_ref[0, hi][None, :]).astype(q.dtype)
+        v2 = v_ref[0, hi].reshape(km * lc, dk).astype(q.dtype)
+        o = jax.lax.dot_general(
+            w, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, dk)
+        o = o + (p_new / lsum) * vnew_ref[0, hi].astype(jnp.float32)
         out_ref[0, hi] = o.astype(out_ref.dtype)
 
 
@@ -196,7 +193,14 @@ def group_attend_anc_q(
     hb = h
     while hb > 1 and (h % hb != 0 or hb * leaf_bytes > (3 << 20)):
         hb -= 1
+    # Pre-flatten the per-column scales to the attended width: the kernel's
+    # fused matmul orders columns (j, t<lc), so ksf[b, h, j*lc + t] =
+    # k_scale[b, h, j, t]. Scale bytes are payload/dk, so this XLA-side
+    # slice+reshape copy is ~1.5% of the traffic the int8 payload saves.
+    ksf = k_scale[:, :, :, :lc].astype(jnp.float32).reshape(b, h, km * lc)
+    vsf = v_scale[:, :, :, :lc].astype(jnp.float32).reshape(b, h, km * lc)
     row3 = lambda i, j, pos_ref: (i, 0, 0)
+    rowf = lambda i, j, pos_ref: (i, j, 0)
     row = lambda i, j, pos_ref: (i, j, 0, 0)
     row5 = lambda i, j, pos_ref: (i, j, 0, 0, 0)
     return pl.pallas_call(
@@ -209,8 +213,8 @@ def group_attend_anc_q(
                 pl.BlockSpec((1, hb, km, dk), row),
                 pl.BlockSpec((1, hb, km, dk), row),
                 pl.BlockSpec((1, km, lc_full), row3),
-                pl.BlockSpec((1, hb, km, lc_full), row),
-                pl.BlockSpec((1, hb, km, lc_full), row),
+                pl.BlockSpec((1, hb, km * lc), rowf),
+                pl.BlockSpec((1, hb, km * lc), rowf),
                 pl.BlockSpec((1, hb, km, lc, dk), row5),
                 pl.BlockSpec((1, hb, km, lc, dk), row5),
             ],
@@ -219,7 +223,7 @@ def group_attend_anc_q(
         out_shape=jax.ShapeDtypeStruct((b, h, km, dk), v_new.dtype),
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1), q, k_new, v_new, anc,
-      k_scale.astype(jnp.float32), v_scale.astype(jnp.float32), k, v)
+      ksf, vsf, k, v)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "interpret"))
