@@ -11,6 +11,8 @@ set -u
 cd "$(dirname "$0")/.."
 SCRATCH=${SCRATCH:-/tmp/overfit_flagship}
 ART=measurements/r4/overfit
+EPOCHS=${EPOCHS:-100}
+TRAIN_TIMEOUT=${TRAIN_TIMEOUT:-6000}
 mkdir -p "$ART" "$SCRATCH"
 
 python - <<'EOF'
@@ -24,7 +26,7 @@ csv, tokens = make_synthetic_corpus(os.path.join(root, "corpus"), n=16, seed=1,
 print("corpus:", csv)
 EOF
 
-timeout 6000 python avsr_main.py \
+timeout "$TRAIN_TIMEOUT" python avsr_main.py \
   --config-file configs/AVSR/tailored_transformer+ctc_spanish_tpu.yaml \
   --training-dataset "$SCRATCH/corpus/split.csv" \
   --validation-dataset "$SCRATCH/corpus/split.csv" \
@@ -33,7 +35,7 @@ timeout 6000 python avsr_main.py \
   --output-dir "$SCRATCH/exp" \
   --output-name overfit \
   --yaml-overrides \
-    training_settings:epochs:100 \
+    training_settings:epochs:"$EPOCHS" \
     training_settings:average_epochs:3 \
     training_settings:warmup_steps:80 \
     training_settings:noam_factor:1.0 \
