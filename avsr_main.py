@@ -262,6 +262,12 @@ def run_training(args, config, tokenizer, converter, transforms):
             )
             val_stats.append({"epoch": epoch, "cer": val_cer, "path": ckpt})
             save_train_state(state, epoch, ts_path)
+            keep = int(ts.get("keep_checkpoints", 0) or 0)
+            if keep:
+                from tailored_avsr_tpu.train.checkpoint import prune_checkpoints
+
+                # never prune below what the final top-K averaging needs
+                prune_checkpoints(val_stats, max(keep, ts["average_epochs"]))
             if stop_requested["flag"]:  # signal arrived during validation/save
                 print(
                     f"preempted after epoch {epoch} completed: state saved; "

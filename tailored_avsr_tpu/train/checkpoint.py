@@ -173,3 +173,27 @@ def top_k_epochs(rows: List[Dict[str, float]], k: int, key: str = "cer") -> List
     """Epoch numbers of the K best (lowest) validation scores (ref avsr_main:226-229)."""
     ranked = sorted(rows, key=lambda r: r[key])
     return [int(r["epoch"]) for r in ranked[:k]]
+
+
+def prune_checkpoints(
+    rows: List[Dict[str, Any]], keep: int, key: str = "cer"
+) -> List[str]:
+    """Checkpoint retention: delete per-epoch checkpoints that are neither in
+    the current top-``keep`` by validation score nor the newest epoch.
+
+    The reference keeps every epoch's .pth on disk (ref avsr_main.py:222-230)
+    — at 59 MB x hundreds of epochs that is not a production policy. Top-K
+    averaging only ever needs the K best epochs, and resume needs the newest;
+    everything else is dead weight. Returns the paths removed.
+    """
+    if keep <= 0 or len(rows) <= keep:
+        return []
+    latest = max(int(r["epoch"]) for r in rows)
+    keep_epochs = set(top_k_epochs(rows, keep, key=key)) | {latest}
+    removed = []
+    for r in rows:
+        p = r.get("path")
+        if int(r["epoch"]) not in keep_epochs and p and os.path.exists(p):
+            os.remove(p)
+            removed.append(p)
+    return removed
