@@ -425,6 +425,47 @@ def bench_train(on_tpu, peak_tf, metric: str, tiny: bool = False,
         a100_rtf = 312e12 * 0.35 / flops_per_audio_s
         extra["vs_baseline"] = round(rtf_t / a100_rtf, 3)
         extra["baseline_note"] = "a100_roofline_standin_312tf_35mfu"
+    if not tiny:
+        # training-envelope point (VERDICT r4 item 7): the corpus trains at
+        # nframes<=500 (20 s utterances), not the 4 s bench point — measure
+        # a long-frames step so the 818 h epoch projection reflects the real
+        # envelope. Same per-step frame budget (batch x frames ~ const).
+        try:
+            tb5 = int(tuning.get("train_frames500_batch", 4))
+            remat5 = bool(tuning.get("train_frames500_remat", use_remat))
+            f5 = 500
+            s5 = f5 * 640
+            batch5 = (
+                jnp.asarray(rng.randn(tb5, s5).astype(np.float32) * 0.1),
+                jnp.full((tb5,), s5, np.int32),
+                jnp.asarray(rng.randn(tb5, f5, 88, 88).astype(np.float32)),
+                jnp.full((tb5,), f5, np.int32),
+                jnp.asarray(rng.randint(3, 120, (tb5, 120)), np.int32),
+                jnp.full((tb5,), 120, np.int32),
+            )
+            step5 = make_train_step(
+                tmodel, tx, donate=True, remat=remat5,
+                compute_dtype=jnp.bfloat16 if on_tpu else None,
+            )
+            state5 = fresh_state()
+            flops5 = graph_flops(step5, state5, batch5, key)
+            state5, stats5 = step5(state5, batch5, key)
+            np.asarray(jax_leaves(stats5)[0])
+            times5 = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                state5, stats5 = step5(state5, batch5, key)
+                np.asarray(jax_leaves(stats5)[0])
+                times5.append(time.perf_counter() - t0)
+            dt5 = min(times5)
+            rtf5 = tb5 * s5 / 16000.0 / dt5
+            extra["frames500"] = {
+                "batch": tb5, "remat": remat5, "rtf": round(rtf5, 2),
+                "epoch_hours_818h": round(818.0 / rtf5, 2),
+                **perf_fields(flops5, dt5, peak_tf, tb5),
+            }
+        except Exception as e:  # noqa: BLE001 — envelope point is best-effort
+            extra["frames500"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     emit(metric, value=round(rtf_t, 2),
          **perf_fields(flops_t, dt_t, peak_tf, tb), **extra)
 
