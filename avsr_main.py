@@ -203,7 +203,10 @@ def run_training(args, config, tokenizer, converter, transforms):
         state, done_epoch = load_train_state(state, ts_path)
         start_epoch = done_epoch + 1
         print(f"resumed training state after epoch {done_epoch} (step {int(state.step)})")
-    val_stats = []
+    val_stats = []  # rows with saved checkpoints (averaging candidates)
+    all_val_rows = []  # every epoch's validation CER (val_stats.csv)
+    save_every = max(1, int(ts.get("save_every", 1) or 1))
+    save_state_every = max(1, int(ts.get("save_state_every", save_every) or 1))
     # preemption handling (SURVEY.md §5.3-5.4 — the reference has none):
     # SIGTERM/SIGINT stop the run at the next step or epoch boundary. The
     # recovery unit is the per-epoch train_state.ckpt already on disk, so the
@@ -254,20 +257,35 @@ def run_training(args, config, tokenizer, converter, transforms):
                 f"| VAL CER={val_cer:.2f}% || TEST LOSS={test_loss:.3f} "
                 f"| TEST CER={test_cer:.2f}% || {time.time() - t0:.1f}s"
             )
-            ckpt = os.path.join(args.output_dir, "models", f"model_{epoch:03d}.ckpt")
-            save_model(
-                {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)},
-                ckpt,
-            )
-            val_stats.append({"epoch": epoch, "cer": val_cer, "path": ckpt})
-            save_train_state(state, epoch, ts_path)
-            keep = int(ts.get("keep_checkpoints", 0) or 0)
-            if keep:
-                from tailored_avsr_tpu.train.checkpoint import prune_checkpoints
+            all_val_rows.append({"epoch": epoch, "cer": val_cer})
+            # Checkpoint cadence: the reference saves every epoch (its device
+            # is local, ref avsr_main.py:222); over a remote-tunnel TPU a
+            # device_get of the 59M-param model + optimizer state costs
+            # minutes (measured ~5 MB/s device->host), so the save interval
+            # is a training_settings knob. save_every gates the averaging
+            # checkpoints, save_state_every the (3x larger) resume state.
+            # Defaults (1) are reference parity.
+            last_epoch = epoch == ts["epochs"] or stop_requested["flag"]
+            if epoch % save_every == 0 or last_epoch:
+                ckpt = os.path.join(
+                    args.output_dir, "models", f"model_{epoch:03d}.ckpt"
+                )
+                save_model(
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)},
+                    ckpt,
+                )
+                val_stats.append({"epoch": epoch, "cer": val_cer, "path": ckpt})
+                keep = int(ts.get("keep_checkpoints", 0) or 0)
+                if keep:
+                    from tailored_avsr_tpu.train.checkpoint import (
+                        prune_checkpoints,
+                    )
 
-                # never prune below what the final top-K averaging needs
-                prune_checkpoints(val_stats, max(keep, ts["average_epochs"]))
+                    # never prune below what the final top-K averaging needs
+                    prune_checkpoints(val_stats, max(keep, ts["average_epochs"]))
+            if epoch % save_state_every == 0 or last_epoch:
+                save_train_state(state, epoch, ts_path)
             if stop_requested["flag"]:  # signal arrived during validation/save
                 print(
                     f"preempted after epoch {epoch} completed: state saved; "
@@ -280,7 +298,7 @@ def run_training(args, config, tokenizer, converter, transforms):
 
     save_val_stats(
         os.path.join(args.output_dir, "val_stats.csv"),
-        [{"epoch": r["epoch"], "cer": r["cer"]} for r in val_stats],
+        [{"epoch": r["epoch"], "cer": r["cer"]} for r in all_val_rows],
     )
     best = top_k_epochs(val_stats, ts["average_epochs"])
     paths = [os.path.join(args.output_dir, "models", f"model_{e:03d}.ckpt") for e in best]

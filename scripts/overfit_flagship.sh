@@ -25,7 +25,10 @@ SCRATCH=${SCRATCH:-/tmp/overfit_flagship_r5}
 ART=${ART:-measurements/r5/overfit}
 EPOCHS=${EPOCHS:-250}
 TRAIN_TIMEOUT=${TRAIN_TIMEOUT:-5400}
-mkdir -p "$ART" "$SCRATCH"
+# persistent compiled-executable cache: a rerun (resume after preemption)
+# skips the multi-minute flagship compiles
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache_r5}
+mkdir -p "$ART" "$SCRATCH" "$JAX_COMPILATION_CACHE_DIR"
 
 python - <<'EOF'
 import sys
@@ -57,6 +60,8 @@ timeout "$TRAIN_TIMEOUT" python avsr_main.py \
     training_settings:epochs:"$EPOCHS" \
     training_settings:average_epochs:3 \
     training_settings:keep_checkpoints:5 \
+    training_settings:save_every:25 \
+    training_settings:save_state_every:125 \
     training_settings:warmup_steps:400 \
     training_settings:noam_factor:0.32 \
     training_settings:grad_clip:5.0 \
