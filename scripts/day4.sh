@@ -74,8 +74,10 @@ if best is not None:
     tuning["train_note"] = (
         f"measurements/r4/evidence/tsweep.log: rtf={best['rtf']}"
         f" mfu={best.get('mfu')} epoch_hours_818h={best.get('epoch_hours_818h')}")
-    with open("/root/repo/bench_tuning.json", "w") as f:
+    import os
+    with open("/root/repo/bench_tuning.json.tmp", "w") as f:
         json.dump(tuning, f)
+    os.replace("/root/repo/bench_tuning.json.tmp", "/root/repo/bench_tuning.json")
     print("folded train winner:", json.dumps(tuning))
 else:
     print("no valid train sweep point; tuning unchanged")
@@ -83,10 +85,8 @@ EOF
 note "tuning after tsweep: $(cat /root/repo/bench_tuning.json 2>/dev/null)"
 
 # --- 3. flagship overfit demonstration ---
-note "starting flagship overfit"
-EPOCHS=60 TRAIN_TIMEOUT=2400 bash scripts/overfit_flagship.sh \
-  > "$LOG/overfit_driver.log" 2>&1
-cp "$LOG/overfit_driver.log" "$ARTIFACTS/" 2>/dev/null || true
+EPOCHS=60 TRAIN_TIMEOUT=2400 run_stage overfit_driver 3000 \
+  bash scripts/overfit_flagship.sh
 note "overfit done; final WER file: $(tail -1 measurements/r4/overfit/overfit.wer 2>/dev/null || echo MISSING)"
 
 # --- 4. combined int8 byte levers at the tuned beam batch ---
@@ -135,8 +135,12 @@ for path in paths:
     except Exception:
         pass
 best = best_exact
-if best_lossy is not None and (
-        best is None or best_lossy["rtf"] > 1.03 * best["rtf"]):
+# ADVICE r4 (medium): without an exact baseline there is no margin to
+# compare against — never adopt a lossy point unconditionally; and any
+# lossy adoption would need an accuracy gate, so lossy points only win
+# over a MEASURED exact baseline by >3%.
+if best_exact is not None and best_lossy is not None and (
+        best_lossy["rtf"] > 1.03 * best_exact["rtf"]):
     best = best_lossy
 if best is not None:
     tuning = {
@@ -153,6 +157,14 @@ if best is not None:
     for key in ("cache_dtype", "mem_dtype"):
         if best.get(key):
             tuning[key] = best[key]
+    # ADVICE r4 (medium): a weight-quantized winner must carry its knobs
+    # into the tuning, or bench.py would measure a different config than
+    # the one that produced the recorded rtf
+    q = best.get("quantize") or ""
+    if "lm" in q:
+        tuning["quantize_lm"] = True
+    if "asr" in q:
+        tuning["quantize_asr_model"] = True
     try:
         with open("/root/repo/bench_tuning.json") as f:
             old = json.load(f)
@@ -161,8 +173,10 @@ if best is not None:
                 tuning[key] = old[key]
     except Exception:
         pass
-    with open("/root/repo/bench_tuning.json", "w") as f:
+    import os
+    with open("/root/repo/bench_tuning.json.tmp", "w") as f:
         json.dump(tuning, f)
+    os.replace("/root/repo/bench_tuning.json.tmp", "/root/repo/bench_tuning.json")
     print("retuned:", json.dumps(tuning))
 EOF
 note "final tuning: $(cat /root/repo/bench_tuning.json 2>/dev/null)"
