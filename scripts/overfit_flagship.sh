@@ -6,14 +6,22 @@
 # top-K averaging, checkpointing, joint beam decode, tasas WER — end-to-end
 # on hardware.
 #
-# Operating point (fixes the r4 mis-specification: peak LR 7e-3 after a
-# warmup-80 Noam ramp, no grad clip, 112 total steps):
-#   corpus 32 samples, batch 4  -> 8 optimizer steps/epoch
-#   epochs 250                  -> 2000 optimizer steps
-#   noam_factor 0.32, warmup 400 -> peak LR = 0.32 * 256^-0.5 * 400^-0.5
-#                                  ~ 1.0e-3 (the ref operating point's peak,
-#                                  configs/AVSR/...spanish.yaml:148-154 scaled
-#                                  to this step count)
+# Operating point (v2 — the v1 point of noam_factor 0.32 / peak 1.0e-3 with
+# the production regularizers ON plateaued at loss~2.9 / CTC-greedy CER~75%
+# after 1500 steps, measurements/r5/overfit/overfit_v1: a memorization demo
+# fighting dropout 0.1 + SpecAug at 18x less LR than the converging CPU
+# canary. This is a mechanics proof, not a generalization run, so v2 matches
+# the canary's proven operating point at flagship scale):
+#   corpus 32 samples, batch 4   -> 8 optimizer steps/epoch
+#   epochs 250                   -> 2000 optimizer steps
+#   specaug off, all dropout 0   (tests/test_convergence.py converges WITH
+#                                 them at tiny scale; at 59M they only slow
+#                                 the collapse)
+#   model ctc_weight 0.3         (val CER is CTC-greedy; 0.1 starves the
+#                                 CTC branch of gradient — the canary uses 0.3)
+#   noam_factor 0.8, warmup 400  -> peak LR = 0.8 * 256^-0.5 * 400^-0.5
+#                                  ~ 2.5e-3 (between v1's underfitting 1e-3
+#                                  and r4's diverging unclipped 7e-3)
 #   grad_clip 5, keep_checkpoints 5 (top-3 averaging needs 3; latest for
 #   resume)
 # Artifacts (train log, val_stats.csv, .inf/.wer) land in measurements/r5/
@@ -63,8 +71,23 @@ timeout "$TRAIN_TIMEOUT" python avsr_main.py \
     training_settings:save_every:25 \
     training_settings:save_state_every:125 \
     training_settings:warmup_steps:400 \
-    training_settings:noam_factor:0.32 \
+    training_settings:noam_factor:0.8 \
     training_settings:grad_clip:5.0 \
+    specaug:none \
+    model_conf:ctc_weight:0.3 \
+    acoustic_embed_conf:dropout_rate:0.0 \
+    acoustic_embed_conf:positional_dropout_rate:0.0 \
+    visual_embed_conf:dropout_rate:0.0 \
+    visual_embed_conf:positional_dropout_rate:0.0 \
+    encoder_conf:dropout_rate:0.0 \
+    encoder_conf:positional_dropout_rate:0.0 \
+    encoder_conf:attention_dropout_rate:0.0 \
+    audiovisual_fusion_conf:dropout_rate:0.0 \
+    decoder_conf:dropout_rate:0.0 \
+    decoder_conf:positional_dropout_rate:0.0 \
+    decoder_conf:self_attention_dropout_rate:0.0 \
+    decoder_conf:src_attention_dropout_rate:0.0 \
+    ctc_conf:dropout_rate:0.0 \
     training_settings:batch_size:4 \
     training_settings:accum_grad:1 \
     training_settings:num_workers:2 \
