@@ -552,7 +552,12 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         flash_ok = (
             self.use_flash
-            and (deterministic or self.dropout_rate == 0.0)
+            # the Pallas flash kernels are custom_partitioning primitives with
+            # no VJP: inference-only. Gating on dropout_rate==0 used to route
+            # TRAINING through them whenever attention dropout was disabled,
+            # which crashes at grad time ("Differentiation rule for
+            # 'custom_partitioning' not implemented").
+            and deterministic
             and (mask is None or mask.ndim == 2)
         )
         # in-kernel Toeplitz pays when the materialized (B, H, T, T) bias

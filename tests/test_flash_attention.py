@@ -147,3 +147,33 @@ def test_flash_batch_partitioning_under_mesh():
           jax.device_put(mask, ds))
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                atol=2e-5)
+
+
+def test_relpos_attention_trains_with_zero_dropout():
+    """Training (deterministic=False) must never route through the Pallas
+    flash kernels — they are custom_partitioning primitives with no VJP.
+    Regression: the gate used to admit them whenever dropout_rate == 0, so a
+    model configured with attention_dropout 0 + use_flash crashed at grad
+    time (found by the r5 flagship overfit, which disables dropout)."""
+    from tailored_avsr_tpu.ops.attention import RelPositionMultiHeadedAttention
+    from tailored_avsr_tpu.ops.posenc import RelPositionalEncoding
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (2, 16, 32))
+    pos = RelPositionalEncoding(0.0)
+    xs, pemb = pos.apply(pos.init(key, x), x)
+    mask = jnp.arange(16)[None, :] < jnp.array([16, 11])[:, None]
+    m = RelPositionMultiHeadedAttention(
+        num_heads=4, dropout_rate=0.0, use_flash=True
+    )
+    params = m.init({"params": key, "dropout": key}, xs, xs, xs, pemb, mask,
+                    deterministic=False)
+
+    def loss(p):
+        out = m.apply(p, xs, xs, xs, pemb, mask, deterministic=False,
+                      rngs={"dropout": key})
+        return jnp.sum(out**2)
+
+    val, g = jax.value_and_grad(loss)(params)
+    assert jnp.isfinite(val)
+    assert all(jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree_util.tree_leaves(g))
