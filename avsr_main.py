@@ -236,9 +236,13 @@ def run_training(args, config, tokenizer, converter, transforms):
         for epoch in range(start_epoch, ts["epochs"] + 1):
             t0 = time.time()
             tot, n = 0.0, 0
+            parts = {}  # loss_att / loss_ctc / acc breakdown (when present)
             for batch in train_loader:
                 state, stats = run_train_step(state, batch_tuple(batch, task), rng)
                 tot += float(stats["loss"])
+                for k in ("loss_att", "loss_ctc", "acc"):
+                    if k in stats:
+                        parts[k] = parts.get(k, 0.0) + float(stats[k])
                 n += 1
                 if stop_requested["flag"]:
                     break
@@ -252,8 +256,13 @@ def run_training(args, config, tokenizer, converter, transforms):
             train_loss = tot / max(n, 1)
             val_loss, val_cer = validation(val_loader)
             test_loss, test_cer = validation(test_loader)
+            detail = "".join(
+                f" {k.removeprefix('loss_').upper()}={v / max(n, 1):.3f}"
+                for k, v in sorted(parts.items())
+            )
             print(
-                f"Epoch {epoch}: TRAIN LOSS={train_loss:.3f} || VAL LOSS={val_loss:.3f} "
+                f"Epoch {epoch}: TRAIN LOSS={train_loss:.3f}{detail} || "
+                f"VAL LOSS={val_loss:.3f} "
                 f"| VAL CER={val_cer:.2f}% || TEST LOSS={test_loss:.3f} "
                 f"| TEST CER={test_cer:.2f}% || {time.time() - t0:.1f}s"
             )
