@@ -33,6 +33,15 @@ SCRATCH=${SCRATCH:-/tmp/overfit_flagship_r5}
 ART=${ART:-measurements/r5/overfit}
 EPOCHS=${EPOCHS:-250}
 TRAIN_TIMEOUT=${TRAIN_TIMEOUT:-5400}
+# v4 operating-point knobs (canary-at-flagship-scale is N=16 BATCH=16
+# FACTOR=1.6 WARMUP=250 DTYPE=float32: full-batch deterministic gradients +
+# the canary's LR scaled by sqrt(d_canary/d_flagship))
+export N_SAMPLES=${N_SAMPLES:-32}
+export SCRATCH
+BATCH=${BATCH:-4}
+FACTOR=${FACTOR:-0.8}
+WARMUP=${WARMUP:-400}
+DTYPE=${DTYPE:-bfloat16}
 # persistent compiled-executable cache: a rerun (resume after preemption)
 # skips the multi-minute flagship compiles
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache_r5}
@@ -44,7 +53,8 @@ sys.path.insert(0, ".")
 from tests.synthetic import make_synthetic_corpus
 import os
 root = os.environ.get("SCRATCH", "/tmp/overfit_flagship_r5")
-csv, tokens = make_synthetic_corpus(os.path.join(root, "corpus"), n=32, seed=1,
+n = int(os.environ.get("N_SAMPLES", "32"))
+csv, tokens = make_synthetic_corpus(os.path.join(root, "corpus"), n=n, seed=1,
                                     nframes=16)
 print("corpus:", csv)
 EOF
@@ -70,8 +80,8 @@ timeout "$TRAIN_TIMEOUT" python avsr_main.py \
     training_settings:keep_checkpoints:5 \
     training_settings:save_every:25 \
     training_settings:save_state_every:125 \
-    training_settings:warmup_steps:400 \
-    training_settings:noam_factor:0.8 \
+    training_settings:warmup_steps:"$WARMUP" \
+    training_settings:noam_factor:"$FACTOR" \
     training_settings:grad_clip:5.0 \
     specaug:none \
     model_conf:ctc_weight:0.3 \
@@ -88,7 +98,8 @@ timeout "$TRAIN_TIMEOUT" python avsr_main.py \
     decoder_conf:self_attention_dropout_rate:0.0 \
     decoder_conf:src_attention_dropout_rate:0.0 \
     ctc_conf:dropout_rate:0.0 \
-    training_settings:batch_size:4 \
+    training_settings:batch_size:"$BATCH" \
+    dtype:"$DTYPE" \
     training_settings:accum_grad:1 \
     training_settings:num_workers:2 \
     inference_conf:batch_size:16 \
