@@ -243,6 +243,13 @@ def run_training(args, config, tokenizer, converter, transforms):
                 for k in ("loss_att", "loss_ctc", "acc"):
                     if k in stats:
                         parts[k] = parts.get(k, 0.0) + float(stats[k])
+                fw = stats.get("fusion_weights")
+                if fw and "acoustic_weight" in fw:
+                    # mean gate weight — a slammed gate (≈0 or ≈1 on the wrong
+                    # branch) is the modality-collapse signature
+                    parts["aw"] = parts.get("aw", 0.0) + float(
+                        jnp.mean(fw["acoustic_weight"])
+                    )
                 n += 1
                 if stop_requested["flag"]:
                     break

@@ -42,6 +42,11 @@ BATCH=${BATCH:-4}
 FACTOR=${FACTOR:-0.8}
 WARMUP=${WARMUP:-400}
 DTYPE=${DTYPE:-bfloat16}
+# learned_ave suffers cold-start gate collapse on this corpus (the constant
+# visual-noise features win the early race and the softmax gate saturates,
+# v3/v4 logs); concat has no gate to collapse and is a reference-supported
+# merge (adaptive_audiovisual_fusion.py merge methods)
+MERGE=${MERGE:-learned_ave}
 # persistent compiled-executable cache: a rerun (resume after preemption)
 # skips the multi-minute flagship compiles
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache_r5}
@@ -93,6 +98,7 @@ timeout "$TRAIN_TIMEOUT" python avsr_main.py \
     encoder_conf:positional_dropout_rate:0.0 \
     encoder_conf:attention_dropout_rate:0.0 \
     audiovisual_fusion_conf:dropout_rate:0.0 \
+    audiovisual_fusion_conf:merge_method:"$MERGE" \
     decoder_conf:dropout_rate:0.0 \
     decoder_conf:positional_dropout_rate:0.0 \
     decoder_conf:self_attention_dropout_rate:0.0 \
