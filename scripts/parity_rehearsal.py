@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--inf", default="measurements/r5/overfit/overfit.inf")
     ap.add_argument("--limit", type=int, default=0,
                     help="decode only the first N utterances (0 = all)")
+    ap.add_argument("--merge", default="learned_ave",
+                    help="fusion merge_method the checkpoint was trained "
+                         "with (learned_ave | concat)")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +65,11 @@ def main():
 
     cfg = load_config("configs/AVSR/tailored_transformer+ctc_spanish_tpu.yaml")
     cfg.dtype = "float32"
+    # CPU rehearsal: the Pallas flash kernels only lower on TPU
+    cfg.encoder_conf = dict(cfg.encoder_conf, use_flash=False)
+    cfg.audiovisual_fusion_conf = dict(
+        getattr(cfg, "audiovisual_fusion_conf", {}), merge_method=args.merge
+    )
     tokenizer, converter = get_tokenizer_converter(cfg)
     token_list = converter.token_list
     vocab = len(token_list)
@@ -85,7 +93,7 @@ def main():
     print(f"loaded averaged checkpoint: {ckpt}")
 
     # the production weight translation -> the independent torch twin
-    tw = TorchAVSRFlagship(vocab=vocab).eval()
+    tw = TorchAVSRFlagship(vocab=vocab, fusion_merge=args.merge).eval()
     sd = export_torch_state_dict(variables)
     missing, unexpected = tw.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},

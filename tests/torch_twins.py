@@ -394,6 +394,25 @@ class TorchAdaptiveFusion(torch.nn.Module):
         return av, av_mask, w
 
 
+class TorchConcatFusion(torch.nn.Module):
+    """concat adaptive fusion (adaptive_audiovisual_fusion.py merge='concat'):
+    FFN over [audio; video] with no modality gate."""
+
+    def __init__(self, d, hidden):
+        super().__init__()
+        self.audiovisual_layer = TorchFFN(2 * d, hidden, d_out=d)
+        self.norm_final = torch.nn.LayerNorm(d)
+
+    def forward(self, a, a_mask, v, v_mask):
+        av = self.norm_final(
+            self.audiovisual_layer(torch.cat([a, v], dim=-1))
+        )
+        av_mask = None
+        if a_mask is not None or v_mask is not None:
+            av_mask = a_mask | v_mask
+        return av, av_mask, None
+
+
 class TorchDecoderLayer(torch.nn.Module):
     def __init__(self, d, h, units):
         super().__init__()
@@ -468,7 +487,7 @@ class TorchAVSRFlagship(torch.nn.Module):
                                     False, True, False, True, True, True),
                  visual_use_attn=(True, True, True, True, False, True, True,
                                   True, True, True, True, True),
-                 dec_blocks=6):
+                 dec_blocks=6, fusion_merge="learned_ave"):
         super().__init__()
         self.d = d
         self.visual_frontend = TorchVisualFrontend()
@@ -478,7 +497,10 @@ class TorchAVSRFlagship(torch.nn.Module):
             d, h, units, cgmlp_units, cgmlp_kernel,
             acoustic_use_attn, visual_use_attn,
         )
-        self.audiovisual_fusion = TorchAdaptiveFusion(d, units)
+        self.audiovisual_fusion = (
+            TorchConcatFusion(d, units) if fusion_merge == "concat"
+            else TorchAdaptiveFusion(d, units)
+        )
         self.decoder = TorchTransformerDecoder(vocab, d, h, units, dec_blocks)
         self.ctc = _CTC(d, vocab)
 
