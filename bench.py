@@ -51,6 +51,17 @@ import time
 
 import numpy as np
 
+# persistent compiled-executable cache: the flagship graphs cost 10-25 min
+# each through the axon remote-compile path, ~2 min on a cache hit. The same
+# directory is used by every scripts/ CLI (scripts/_pathfix.py), so a driver
+# bench run after an evidence day starts from warm compiles. Set before the
+# first jit; jax reads the env var lazily at first compile.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_r5")
+try:
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+except OSError:
+    pass
+
 # peak dense-matmul throughput per chip, bf16 (TF/s)
 PEAK_TFLOPS = {
     "v5 lite": 197.0,  # TPU v5e
