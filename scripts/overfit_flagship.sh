@@ -6,22 +6,18 @@
 # top-K averaging, checkpointing, joint beam decode, tasas WER — end-to-end
 # on hardware.
 #
-# Operating point (v2 — the v1 point of noam_factor 0.32 / peak 1.0e-3 with
-# the production regularizers ON plateaued at loss~2.9 / CTC-greedy CER~75%
-# after 1500 steps, measurements/r5/overfit/overfit_v1: a memorization demo
-# fighting dropout 0.1 + SpecAug at 18x less LR than the converging CPU
-# canary. This is a mechanics proof, not a generalization run, so v2 matches
-# the canary's proven operating point at flagship scale):
-#   corpus 32 samples, batch 4   -> 8 optimizer steps/epoch
-#   epochs 250                   -> 2000 optimizer steps
-#   specaug off, all dropout 0   (tests/test_convergence.py converges WITH
-#                                 them at tiny scale; at 59M they only slow
-#                                 the collapse)
-#   model ctc_weight 0.3         (val CER is CTC-greedy; 0.1 starves the
-#                                 CTC branch of gradient — the canary uses 0.3)
-#   noam_factor 0.8, warmup 400  -> peak LR = 0.8 * 256^-0.5 * 400^-0.5
-#                                  ~ 2.5e-3 (between v1's underfitting 1e-3
-#                                  and r4's diverging unclipped 7e-3)
+# Operating point: the v8 CONVERGING point (WER 0.00 / CER 0.00 on chip,
+# measurements/r5/overfit/DIAGNOSIS.md documents the 8-run search):
+#   corpus 16 samples, batch 16  -> 1 full-batch step/epoch, 600 epochs
+#   specaug off, all dropout 0    (memorization demo, not generalization)
+#   concat fusion                 (learned_ave gate cold-start-collapses onto
+#                                  the constant noise-video branch)
+#   model ctc_weight 0.7          (alignment-dominant loss removes the
+#                                  unconditional-char-LM attractor)
+#   float32, noam factor 0.2 / warmup 150 -> peak LR 1.0e-3 decaying to 5e-4
+#                                 (the conditioned solution is only stable
+#                                  below ~1e-3 at this scale; every ramp past
+#                                  ~2.3e-3 collapsed it - v5/v6/v7 logs)
 #   grad_clip 5, keep_checkpoints 5 (top-3 averaging needs 3; latest for
 #   resume)
 # Artifacts (train log, val_stats.csv, .inf/.wer) land in measurements/r5/
@@ -31,22 +27,15 @@ set -u
 cd "$(dirname "$0")/.."
 SCRATCH=${SCRATCH:-/tmp/overfit_flagship_r5}
 ART=${ART:-measurements/r5/overfit}
-EPOCHS=${EPOCHS:-250}
+EPOCHS=${EPOCHS:-600}
 TRAIN_TIMEOUT=${TRAIN_TIMEOUT:-5400}
-# v4 operating-point knobs (canary-at-flagship-scale is N=16 BATCH=16
-# FACTOR=1.6 WARMUP=250 DTYPE=float32: full-batch deterministic gradients +
-# the canary's LR scaled by sqrt(d_canary/d_flagship))
-export N_SAMPLES=${N_SAMPLES:-32}
+export N_SAMPLES=${N_SAMPLES:-16}
 export SCRATCH
-BATCH=${BATCH:-4}
-FACTOR=${FACTOR:-0.8}
-WARMUP=${WARMUP:-400}
-DTYPE=${DTYPE:-bfloat16}
-# learned_ave suffers cold-start gate collapse on this corpus (the constant
-# visual-noise features win the early race and the softmax gate saturates,
-# v3/v4 logs); concat has no gate to collapse and is a reference-supported
-# merge (adaptive_audiovisual_fusion.py merge methods)
-MERGE=${MERGE:-learned_ave}
+BATCH=${BATCH:-16}
+FACTOR=${FACTOR:-0.2}
+WARMUP=${WARMUP:-150}
+DTYPE=${DTYPE:-float32}
+MERGE=${MERGE:-concat}
 # persistent compiled-executable cache: a rerun (resume after preemption)
 # skips the multi-minute flagship compiles
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache_r5}
@@ -89,7 +78,7 @@ timeout "$TRAIN_TIMEOUT" python avsr_main.py \
     training_settings:noam_factor:"$FACTOR" \
     training_settings:grad_clip:5.0 \
     specaug:none \
-    model_conf:ctc_weight:0.3 \
+    model_conf:ctc_weight:"${CTCW:-0.7}" \
     acoustic_embed_conf:dropout_rate:0.0 \
     acoustic_embed_conf:positional_dropout_rate:0.0 \
     visual_embed_conf:dropout_rate:0.0 \
