@@ -59,7 +59,7 @@ note "overfit WER: $(cat measurements/r5/overfit/overfit.wer 2>/dev/null | tr '\
 
 # --- 2. trained-weights parity rehearsal (CPU; needs the overfit ckpt) ---
 run_stage parity 5400 python scripts/parity_rehearsal.py \
-  --art measurements/r5/parity
+  --art measurements/r5/parity --merge concat
 
 # --- 3. compiled-kernel numerics probe (gate for fused beam points) ---
 PROBE_OK=0
